@@ -1,0 +1,80 @@
+"""Token normalization and attribute munging.
+
+Reimplements read-token* (/root/reference/src/parse/sgml-parse.lisp:921-957)
+and mungle-attlist / find-slot-value-pair (:982-997, :898-916).
+
+Normalized token forms consumed by the PDA:
+    ("S", NAME, atts)   start tag; pcdata becomes ("S", "#PCDATA", text)
+    ("E", NAME)         end tag; eof becomes ("E", "%top")
+    ("C", data)         comment
+
+Notes on observed reference behavior (replicated deliberately):
+  - Unknown element names are dropped entirely (warn level 4), including the
+    NOSCRIPT special case (tag-exists? :959-967).
+  - Empty tags <br/> are treated as start tags (:940-949).
+  - name="value" attributes keep their value verbatim with the slot name
+    upcased -- the DTD is NOT consulted for pairs (mungle-attlist :994-996).
+  - Bare attributes are resolved against the DTD enum attlists via
+    find-slot-value-pair; with *unmungle-attribute-case* = t (the chtml:parse
+    path, html-parser.lisp:63) the resolved enum value is downcased.
+    Unresolvable bare attributes are dropped.
+"""
+
+from __future__ import annotations
+
+from ..dtd import Dtd
+
+PCDATA = "#PCDATA"
+TOP = "%top"
+
+
+def find_slot_value_pair(dtd: Dtd, tag: str, value: str):
+    """First attlist slot whose enum list contains `value` (case-insensitive).
+    Returns (slot_name, enum_value) or (None, None)."""
+    vu = value.upper()
+    for slot, typ in dtd.attlist.get(tag, ()):
+        if isinstance(typ, list) and vu in typ:
+            return slot, vu
+    return None, None
+
+
+def mungle_attlist(dtd: Dtd, tag: str, atts: list) -> list:
+    out = []
+    for x in atts:
+        if isinstance(x, tuple):
+            slot, value = x
+            out.append((slot.upper(), value))
+        else:
+            slot, value = find_slot_value_pair(dtd, tag, x)
+            if slot is not None:
+                # foofoo -> "VALUE" then rod-downcase (unmungle case on)
+                out.append((slot, value.lower()))
+    return out
+
+
+def normalized_tokens(tokenizer, dtd: Dtd):
+    """Generator over normalized tokens, ending with ("E", "%top")."""
+    warn = tokenizer.warn
+    for tok in tokenizer.tokens():
+        kind = tok[0]
+        if kind == "pcdata":
+            yield ("S", PCDATA, tok[1])
+        elif kind == "start" or kind == "empty":
+            name = tok[1]
+            if dtd.tag_exists(name):
+                yield ("S", name, mungle_attlist(dtd, name, tok[2]))
+            else:
+                warn(4, f"There is no such thing as <{name}> -- ignored.")
+        elif kind == "end":
+            name = tok[1]
+            if dtd.tag_exists(name):
+                yield ("E", name)
+            else:
+                warn(4, f"There is no such thing as </{name}> -- ignored.")
+        elif kind == "comment":
+            yield ("C", tok[1])
+        elif kind == "define" or kind == "pi":
+            continue
+        elif kind == "eof":
+            yield ("E", TOP)
+            return
