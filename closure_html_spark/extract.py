@@ -1,0 +1,136 @@
+"""Main-content extraction over the parsed DOM (the north-star stage).
+
+A HAX-style pre-order event walk (the batch analog of serialize-pt,
+html-parser.lisp:122-151) over the array-encoded DOM, scoring text blocks
+with text-density / link-density / tag-class heuristics and emitting
+main-content spans.
+
+Definitions:
+  - extracted_text: concatenation of all PCDATA under BODY in document
+    order, excluding SCRIPT/STYLE subtrees.  This equals the text content
+    of the reference's serialized BODY (the byte-identity invariant).
+  - blocks: maximal runs of pcdata assigned to their nearest block-level
+    ancestor.  Per block we compute:
+        text_len      total chars
+        link_len      chars whose nearest A-ancestor lies within the block
+        n_tags        element count inside the block
+        link_density  link_len / text_len
+        score         text_len * (1 - link_density)^2 * tag_weight
+  - spans: (start, end, score) character offsets into extracted_text, one
+    per block with non-empty text.
+  - main_text: concatenation of span texts with score >= MIN_SCORE and
+    link_density < MAX_LINK_DENSITY -- the boilerplate-stripped content.
+"""
+
+from __future__ import annotations
+
+from .dtd import Dtd, PCDATA
+from .parser.pda import Doc
+
+# block-level elements of the HTML 4.0 DTD that start a new text block
+BLOCK_ELEMENTS = frozenset({
+    "P", "DIV", "TD", "TH", "LI", "DD", "DT", "BLOCKQUOTE", "PRE",
+    "H1", "H2", "H3", "H4", "H5", "H6", "CENTER", "ADDRESS", "CAPTION",
+    "FORM", "BODY", "TABLE", "UL", "OL", "DL", "NOFRAMES", "FIELDSET",
+})
+
+SKIP_SUBTREES = frozenset({"SCRIPT", "STYLE"})
+
+TAG_WEIGHT = {
+    "P": 1.2, "PRE": 1.2, "BLOCKQUOTE": 1.2,
+    "DIV": 1.0, "TD": 1.0, "TH": 0.9, "BODY": 1.0,
+    "H1": 0.8, "H2": 0.8, "H3": 0.8, "H4": 0.8, "H5": 0.8, "H6": 0.8,
+    "LI": 0.7, "DD": 0.7, "DT": 0.7,
+    "CENTER": 0.6, "ADDRESS": 0.6, "CAPTION": 0.6,
+}
+DEFAULT_WEIGHT = 0.5
+
+MIN_SCORE = 10.0
+MAX_LINK_DENSITY = 0.4
+
+
+def find_first(doc: Doc, parent: int, name: str) -> int:
+    """flat-find-element (pt.lisp:204-208)."""
+    for c in doc.children[parent]:
+        if doc.name[c] == name:
+            return c
+    return -1
+
+
+def title_of(doc: Doc) -> str:
+    head = find_first(doc, doc.root, "HEAD")
+    if head < 0:
+        return ""
+    title = find_first(doc, head, "TITLE")
+    if title < 0:
+        return ""
+    return "".join(doc.text[c] or "" for c in doc.children[title]
+                   if doc.name[c] == PCDATA)
+
+
+def extract_main_content(doc: Doc, dtd: Dtd) -> dict:
+    """Returns {title, extracted_text, main_text, spans} for one Doc.
+    spans: list of (start, end, score) into extracted_text."""
+    body = find_first(doc, doc.root, "BODY")
+    if body < 0:
+        body = find_first(doc, doc.root, "FRAMESET")
+    if body < 0:
+        return {"title": title_of(doc), "extracted_text": "",
+                "main_text": "", "spans": []}
+
+    # iterative event walk carrying (node, block_id, in_link); text is
+    # accumulated into contiguous per-block SEGMENTS in document order, so
+    # spans never overlap even when body text interleaves with child blocks
+    parts: list[str] = []
+    pos = 0
+    segs: list[list] = []  # [block_nid, bname, start, end, text_len, link_len, n_tags]
+
+    stack = [(body, body, False)]
+    name_arr = doc.name
+    text_arr = doc.text
+    children = doc.children
+    while stack:
+        n, block, in_link = stack.pop()
+        nm = name_arr[n]
+        if nm == PCDATA:
+            data = text_arr[n] or ""
+            if not data:
+                continue
+            if not segs or segs[-1][0] != block:
+                segs.append([block, name_arr[block], pos, pos, 0, 0, 0])
+            seg = segs[-1]
+            parts.append(data)
+            seg[3] = pos + len(data)
+            seg[4] += len(data)
+            if in_link:
+                seg[5] += len(data)
+            pos += len(data)
+            continue
+        if nm in SKIP_SUBTREES:
+            continue
+        if nm in BLOCK_ELEMENTS and n != block:
+            block = n
+        elif n != body and segs and segs[-1][0] == block:
+            segs[-1][6] += 1
+        child_link = in_link or nm == "A"
+        for c in reversed(children[n]):
+            stack.append((c, block, child_link))
+
+    extracted = "".join(parts)
+    spans = []
+    main_parts = []
+    for _, bname, start, end, tlen, llen, ntags in segs:
+        if tlen == 0:
+            continue
+        ld = llen / tlen
+        score = tlen * (1.0 - ld) * (1.0 - ld) * TAG_WEIGHT.get(bname, DEFAULT_WEIGHT)
+        spans.append((start, end, round(score, 4)))
+        if score >= MIN_SCORE and ld < MAX_LINK_DENSITY:
+            main_parts.append(extracted[start:end])
+
+    return {
+        "title": title_of(doc),
+        "extracted_text": extracted,
+        "main_text": "".join(main_parts),
+        "spans": spans,
+    }

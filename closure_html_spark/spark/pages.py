@@ -1,0 +1,123 @@
+"""Deterministic synthesis of the `pages` input table.
+
+BASELINE.json's input_hint mandates the shape
+    pages(url: string, warc_ts: timestamp, html: binary, text: string,
+          lang: string)
+but the driver testdata has no pages parquet, so we synthesize it
+deterministically (seed-free: pure functions of doc_id) from the
+`documents` table -- entirely with JVM-side Spark SQL expressions, so
+synthesis itself never leaves Tungsten.
+
+Template 0 is the canonical correctness template: its extraction output is
+expressible in ANSI SQL over `documents`, giving the DuckDB oracle a way to
+verify the full parse+extract pipeline end-to-end:
+    extracted_text == 'home about' || text || 'contact © 2026'
+    main_text      == text            (nav/footer are link-dense boilerplate)
+    title          == 'Doc ' || doc_id
+
+Templates 1..3 (bench tiling only) wrap the same core in progressively
+nastier tag soup -- tables without </td>, lists without </li>, comments,
+font/center misnesting -- to exercise the repair machinery at benchmark
+scale.  Hosts are skewed on purpose: ~30%% of pages land on host0
+(north_rule skew fixture).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _esc(col):
+    # HTML-escape of the text payload (matches entity decode on the way back)
+    return F.replace(
+        F.replace(
+            F.replace(col, F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;")),
+        F.lit(">"), F.lit("&gt;"))
+
+
+_NAV = ("<div id=nav><a href=/>home</a> <a href=/about>about</a></div>")
+_FOOTER = ('<div class=footer><a href=/c>contact</a> &copy; 2026</div>')
+
+
+def _template(variant: int, title_expr, esc_text, heavy: int = 1):
+    head = F.concat(F.lit("<html><head><title>"), title_expr,
+                    F.lit("</title></head><body>"))
+    par = F.concat(F.lit("<p>"), esc_text, F.lit("</p>"))
+    if heavy > 1:  # benchmark mode: realistic multi-KB pages
+        par = F.repeat(par, heavy)
+    core = F.concat(F.lit(_NAV), par, F.lit(_FOOTER))
+    if variant == 0:
+        return F.concat(head, core, F.lit("</body></html>"))
+    if variant == 1:
+        # table soup: td without tr, form in table, no closing tags
+        return F.concat(
+            head,
+            F.lit("<table width=100%><td>left<td>"), F.lit("<b>x"),
+            F.lit("</table>"), core,
+            F.lit("<table><form action=/s><tr><td><input name=q></table>"),
+            F.lit("</body>"))
+    if variant == 2:
+        # list soup + entity stress + comment
+        return F.concat(
+            head,
+            F.lit("<ul><p>bullet one<li>two &nbsp;&bogus; &#65;&#x42;"
+                  "<li>three</ul><!-- boilerplate comment -->"),
+            core, F.lit("</html>"))
+    # variant 3: font/center misnesting + truncated tail
+    return F.concat(
+        head,
+        F.lit("<font size=2><center>header</font></center><h1>Title<h2>"),
+        core)
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str,
+                         tile: int = 1, variants: int = 1,
+                         heavy: int = 1) -> DataFrame:
+    """Build `pages` from {sf_dir}/documents.parquet.
+
+    tile > 1 replicates each document `tile` times (distinct urls) for
+    benchmark scale; variants > 1 cycles templates by (doc_id+rep) % variants.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select("doc_id", "text", "lang")
+    if tile > 1:
+        df = df.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(tile - 1))))
+    else:
+        df = df.withColumn("rep", F.lit(0))
+
+    # skewed host assignment: ~30% of pages on host0 (north_rule skew fixture)
+    host = F.when((F.col("doc_id") % 10) < 3, F.lit(0)) \
+            .otherwise(F.col("doc_id") % 50)
+    url = F.concat(F.lit("https://host"), host.cast("string"),
+                   F.lit(".example/p"), F.col("doc_id").cast("string"),
+                   F.when(F.col("rep") > 0,
+                          F.concat(F.lit("r"), F.col("rep").cast("string")))
+                    .otherwise(F.lit("")))
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    esc_text = _esc(F.col("text"))
+
+    variant_sel = (F.col("doc_id") + F.col("rep")) % variants if variants > 1 else F.lit(0)
+    html = _template(0, title, esc_text, heavy)
+    for v in range(1, variants):
+        html = F.when(variant_sel == v,
+                      _template(v, title, esc_text, heavy)).otherwise(html)
+
+    return df.select(
+        url.alias("url"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) +
+         F.make_interval(secs=F.col("doc_id") + F.lit(86400) * F.col("rep"))
+         ).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+
+
+# Oracle-side SQL fragments (DuckDB) matching template 0 -- kept next to the
+# template so they evolve together.
+ORACLE_EXTRACTED_TEXT = "'home about' || text || 'contact © 2026'"
+ORACLE_MAIN_TEXT = "text"
+ORACLE_TITLE = "'Doc ' || CAST(doc_id AS VARCHAR)"

@@ -1,0 +1,157 @@
+"""The extraction pipeline: pages -> (url, extracted_text, spans, ...).
+
+Spark shape (SURVEY.md §3.1 "Spark version"): a single narrow stage --
+scan -> iterator-style mapInPandas (Arrow-batched, no per-row Python
+marshalling at the row level; the parser itself is the per-document state
+machine) -> result columns.  No shuffle is introduced by extraction itself;
+repartitioning for skew is the caller's choice (see lineage.py).
+
+DTD tables are loaded once per executor process from the packaged dtd.json
+(module-level cache in closure_html_spark.dtd) -- the broadcast-variable
+equivalent for static build artifacts shipped via --py-files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dtd import load_dtd
+from ..extract import extract_main_content
+from ..parser.charset import decode_html
+from ..parser.pda import parse_html, sgml_parse
+from ..serialize import serialize_doc
+
+EXTRACT_RESULT_COLS = (
+    "title string, extracted_text string, main_text string, "
+    "spans array<struct<start:int,end:int,score:double>>, "
+    "n_nodes int, n_warns int, charset string"
+)
+
+
+def _extract_schema(df: DataFrame, id_cols: tuple[str, ...]) -> str:
+    id_fields = []
+    for name, dtype in df.dtypes:
+        if name in id_cols:
+            id_fields.append(f"{name} {dtype}")
+    return ", ".join(id_fields) + ", " + EXTRACT_RESULT_COLS
+
+
+def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
+                  default_charset: str = "utf-8") -> DataFrame:
+    """Parse + extract every page.  Keeps `id_cols` as passthrough keys."""
+    schema = _extract_schema(df, id_cols)
+    cols = list(id_cols) + ["html"]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dtd = load_dtd()
+        for pdf in batches:
+            out = {c: pdf[c] for c in id_cols}
+            titles, texts, mains, spans_col = [], [], [], []
+            n_nodes, n_warns, charsets = [], [], []
+            for raw in pdf["html"]:
+                try:
+                    text, cs = decode_html(bytes(raw), default_charset)
+                    doc = parse_html(dtd, text)
+                    res = extract_main_content(doc, dtd)
+                    titles.append(res["title"])
+                    texts.append(res["extracted_text"])
+                    mains.append(res["main_text"])
+                    spans_col.append([
+                        {"start": s, "end": e, "score": sc}
+                        for s, e, sc in res["spans"]])
+                    n_nodes.append(len(doc.name))
+                    n_warns.append(len(doc.warnings))
+                    charsets.append(cs)
+                except Exception as exc:  # never kill the batch for one doc
+                    titles.append("")
+                    texts.append("")
+                    mains.append("")
+                    spans_col.append([])
+                    n_nodes.append(0)
+                    n_warns.append(-1)
+                    charsets.append(f"error:{type(exc).__name__}")
+            out.update(title=titles, extracted_text=texts, main_text=mains,
+                       spans=spans_col, n_nodes=n_nodes, n_warns=n_warns,
+                       charset=charsets)
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(fn, schema)
+
+
+def serialize_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
+                    default_charset: str = "utf-8") -> DataFrame:
+    """Parse + re-serialize every page to canonical escaped HTML
+    (the reference's clean-html round trip, doc/examples.xml:60-77)."""
+    id_fields = ", ".join(f"{n} {t}" for n, t in df.dtypes if n in id_cols)
+    schema = id_fields + ", html_out string"
+    cols = list(id_cols) + ["html"]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dtd = load_dtd()
+        for pdf in batches:
+            out = {c: pdf[c] for c in id_cols}
+            outs = []
+            for raw in pdf["html"]:
+                try:
+                    text, _ = decode_html(bytes(raw), default_charset)
+                    outs.append(serialize_doc(parse_html(dtd, text), dtd))
+                except Exception:
+                    outs.append("")
+            out["html_out"] = outs
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(fn, schema)
+
+
+def nodes_of(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
+             default_charset: str = "utf-8") -> DataFrame:
+    """Exploded `nodes` table: one row per DOM node -- the relational query
+    surface over parsed documents (SURVEY.md §2.8 / FIXTURES.md §2)."""
+    id_fields = ", ".join(f"{n} {t}" for n, t in df.dtypes if n in id_cols)
+    schema = (id_fields + ", node_id int, parent_id int, depth int, "
+              "name string, attrs map<string,string>, text string")
+    cols = list(id_cols) + ["html"]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dtd = load_dtd()
+        for pdf in batches:
+            rows = {c: [] for c in cols[:-1]}
+            node_id, parent_id, depth_c, name_c, attrs_c, text_c = \
+                [], [], [], [], [], []
+            for idx in range(len(pdf)):
+                raw = pdf["html"].iloc[idx]
+                try:
+                    text, _ = decode_html(bytes(raw), default_charset)
+                    doc = parse_html(dtd, text)
+                except Exception:
+                    continue
+                # renumber pre-order from the post-mortem root
+                remap = {}
+                for n, d in doc.walk():
+                    remap[n] = len(remap)
+                for n, d in doc.walk():
+                    for c in id_cols:
+                        rows[c].append(pdf[c].iloc[idx])
+                    node_id.append(remap[n])
+                    p = doc.parent[n]
+                    parent_id.append(remap.get(p, -1))
+                    depth_c.append(d)
+                    name_c.append(doc.name[n])
+                    attrs_c.append(dict(doc.attrs[n]) if doc.attrs[n] else {})
+                    text_c.append(doc.text[n])
+            rows.update(node_id=node_id, parent_id=parent_id, depth=depth_c,
+                        name=name_c, attrs=attrs_c, text=text_c)
+            yield pd.DataFrame(rows)
+
+    return df.select(*cols).mapInPandas(fn, schema)
+
+
+def with_url_bucket(df: DataFrame, num_buckets: int = 1024) -> DataFrame:
+    """Stable bucket id from xxhash64(url) -- the bucket-by-url partitioning
+    key used for Iceberg-style layout, lineage and resumable runs."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int"))

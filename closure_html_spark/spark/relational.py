@@ -1,0 +1,405 @@
+"""Relational + training-data query pack (SURVEY.md §2.10).
+
+The reference is a per-document transform library with no relational ops;
+this module supplies the relational shell an extraction engine needs around
+it, each query expressed Spark-first (DataFrame API, broadcast hints where
+the dimension is small, JVM-side functions only -- no Python UDFs) and
+paired with an ANSI-SQL oracle run by DuckDB in __spark_entry__.py.
+
+Also includes the training-data-pipeline operators (dedup, text analysis,
+similarity search) over the documents/embeddings tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational shell
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 analog: map-side partial agg -> single shuffle on tiny key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_nations(spark, sf_dir):
+    """3-way join with broadcast dims: revenue per nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    ords = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (li.join(ords, li.l_orderkey == ords.o_orderkey)
+            .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy(F.desc("revenue"), "n_name"))
+
+
+ORACLE_TOP_REVENUE = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_order_priority(spark, sf_dir):
+    """Semi-join shape: orders with at least one late lineitem."""
+    ords = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (ords.join(li.select("l_orderkey").distinct(),
+                      ords.o_orderkey == F.col("l_orderkey"), "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_window_user_events(spark, sf_dir):
+    """Window functions over the event stream: per-user ordering + lag."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select(
+        "event_id", "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.round(F.sum("value").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("run_value")))
+
+
+ORACLE_WINDOW = """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER w AS INT) AS seq,
+       LAG(event_type, 1) OVER w AS prev_type,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Session windows: 30-minute inactivity gap -> session ids per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts") - F.lag("ts", 1).over(w)) > F.expr("INTERVAL 1800 SECONDS")
+    with_flag = ev.withColumn(
+        "new_sess", F.when(gap | F.lag("ts", 1).over(w).isNull(), 1).otherwise(0))
+    sess = with_flag.withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_no")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("session_value"))
+            .orderBy("user_id", "session_no"))
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 1800 SECONDS
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, value,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM sess GROUP BY user_id, session_no ORDER BY user_id, session_no
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operations: large parts never shipped in high-quantity lines."""
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_size") > 40).select("p_partkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_quantity") > 45)
+          .select(F.col("l_partkey").alias("p_partkey")))
+    return part.distinct().subtract(li.distinct()).orderBy("p_partkey")
+
+
+ORACLE_SET_OPS = """
+SELECT p_partkey FROM part WHERE p_size > 40
+EXCEPT
+SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+ORDER BY p_partkey
+"""
+
+
+def q_string_datetime(spark, sf_dir):
+    """String + datetime function surface over orders."""
+    ords = _t(spark, sf_dir, "orders")
+    return (ords.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderstatus")).alias("status_u"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.length("o_orderpriority").alias("prio_len"))
+        .orderBy("o_orderkey"))
+
+
+ORACLE_STRING_DATETIME = """
+SELECT o_orderkey,
+       UPPER(o_orderstatus) AS status_u,
+       SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+       CAST(YEAR(o_orderdate) AS INT) AS yr,
+       CAST(MONTH(o_orderdate) AS INT) AS mo,
+       STRFTIME(o_orderdate, '%Y-%m') AS ym,
+       CAST(LENGTH(o_orderpriority) AS INT) AS prio_len
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators over documents / embeddings
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: survivors = min doc_id per hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.withColumn("h", F.md5(F.col("text")))
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("survivor"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .orderBy("survivor"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT MD5(text) AS h, MIN(doc_id) AS survivor, COUNT(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY survivor
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting + quality ratios, all JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return (docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.round(F.try_divide(F.size(F.array_distinct(words)), F.size(words)), 4)
+         .alias("ttr"))
+        .orderBy("doc_id"))
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(LENGTH(text) AS INT) AS n_chars_m,
+       CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS INT) AS n_tokens,
+       CAST(LEN(list_distinct(regexp_split_to_array(TRIM(text), '\\s+'))) AS INT)
+         AS n_distinct,
+       ROUND(LEN(list_distinct(regexp_split_to_array(TRIM(text), '\\s+')))
+             / LEN(regexp_split_to_array(TRIM(text), '\\s+')), 4) AS ttr
+FROM documents ORDER BY doc_id
+"""
+
+
+_EN_STOP = "(the|a|and|of|in|to|is)"
+
+
+def q_quality_score(spark, sf_dir):
+    """Boilerplate-style quality scoring: stopword ratio + mean word length."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    stops = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(r"\b" + _EN_STOP + r"\b"), F.lit(0)))
+    return (docs.select(
+        "doc_id",
+        stops.alias("n_stop"),
+        F.round(stops / F.size(words), 4).alias("stop_ratio"),
+        F.round((F.length("text") + 1) / F.size(words), 4).alias("mean_wlen"))
+        .orderBy("doc_id"))
+
+
+ORACLE_QUALITY = f"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '\\b{_EN_STOP}\\b')) AS INT) AS n_stop,
+       ROUND(LEN(regexp_extract_all(text, '\\b{_EN_STOP}\\b'))
+             / LEN(regexp_split_to_array(TRIM(text), '\\s+')), 4) AS stop_ratio,
+       ROUND((LENGTH(text) + 1) / LEN(regexp_split_to_array(TRIM(text), '\\s+')), 4)
+         AS mean_wlen
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over whitespace-normalized lowercase text."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fp")).orderBy("doc_id")
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id, MD5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_ngram_shingles(spark, sf_dir):
+    """3-gram shingle sets (the MinHash input representation): count of
+    distinct word-trigrams per document."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    # zip word[i], word[i+1], word[i+2] via transform over index range
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                              F.element_at(words, i + 2),
+                              F.element_at(words, i + 3)))
+    return (docs.filter(F.size(words) >= 3)
+            .select("doc_id",
+                    F.size(F.array_distinct(tri)).alias("n_shingles"))
+            .orderBy("doc_id"))
+
+
+ORACLE_NGRAM = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+            FOR i IN range(1, LEN(ws) - 1)])) AS INT) AS n_shingles
+FROM w WHERE LEN(ws) >= 3 ORDER BY doc_id
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir, k: int = 5, n_queries: int = 3):
+    """Brute-force cosine top-k similarity search -- the exact baseline for
+    ANN.  Query vectors = embeddings with vec_id < n_queries; crossJoin with
+    broadcast query side, dot product via JVM-side zip_with/aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (emb.filter(F.col("vec_id") < n_queries)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb")))
+    dot = F.aggregate(
+        F.zip_with(F.col("q_emb"), F.col("embedding"),
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    sim = F.round(dot / (norm(F.col("q_emb")) * norm(F.col("embedding"))), 6)
+    scored = (F.broadcast(qs).crossJoin(emb)
+              .filter(F.col("vec_id") != F.col("q_id"))
+              .select("q_id", "vec_id", sim.alias("sim")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("q_id", "vec_id", "sim", "rnk")
+            .orderBy("q_id", "rnk"))
+
+
+ORACLE_ANN = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings
+           WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         ROUND(list_dot_product(q.q_emb, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+           AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk
+"""
+
+
+def q_minhash_bands(spark, sf_dir, n_hashes: int = 16, n_bands: int = 4):
+    """MinHash+LSH candidate generation, fully JVM-side:
+    shingle -> xxhash64 with per-hash salt -> min per hash -> band signature
+    -> groupBy band bucket.  Returns candidate pair counts per band bucket.
+    No SQL oracle (hash internals differ across engines): rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    docs = docs.filter(F.size(words) >= 3)
+    tri = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                              F.element_at(words, i + 2),
+                              F.element_at(words, i + 3))))
+    # materialize shingles once, THEN take the n_hashes mins -- inlining
+    # `tri` into every signature column makes codegen recompute the shingle
+    # array n_hashes times
+    shingled = docs.select("doc_id", tri.alias("tri"))
+    sig_cols = [
+        F.array_min(F.transform(F.col("tri"),
+                                lambda s: F.xxhash64(s, F.lit(h))))
+        .alias(f"h{h}") for h in range(n_hashes)]
+    sigs = shingled.select("doc_id", *sig_cols)
+    per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{h}") for h in range(b * per_band, (b + 1) * per_band)]
+        bands.append(sigs.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.xxhash64(*cols).alias("bucket")))
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionAll(b)
+    return (allb.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc"))
+            .filter(F.col("n_docs") > 1)
+            .orderBy("band", "bucket"))

@@ -1,0 +1,76 @@
+"""Mini-driver: runs every queries() entry on Spark and compares with its
+oracle_sql() on DuckDB, replicating the per-round correctness gate
+(row count + schema-width + order-insensitive values)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def ducks():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def normalize(df):
+    """pandas frame -> sorted list of row tuples with column order by name,
+    floats rounded for cross-engine comparison."""
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    row.append("nan")
+                else:
+                    row.append(round(v, 6))
+            elif hasattr(v, "item"):
+                row.append(v.item())
+            else:
+                row.append(v)
+        rows.append(tuple(row))
+    rows.sort(key=repr)
+    return rows
+
+
+QUERIES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_vs_oracle(spark, ducks, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR).toPandas()
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(sdf) >= 0  # rows-only check
+        return
+    odf = ducks.execute(oracle).fetchdf()
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} != {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns), \
+        f"{name}: columns {sorted(sdf.columns)} != {sorted(odf.columns)}"
+    srows, orows = normalize(sdf), normalize(odf)
+    mism = [i for i, (a, b) in enumerate(zip(srows, orows)) if a != b][:5]
+    assert not mism, (
+        f"{name}: first mismatches: "
+        + "; ".join(f"spark={srows[i]} oracle={orows[i]}" for i in mism))
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.limit(5).collect()
+    assert len(rows) == 5
+    assert set(df.columns) == {"url", "title", "extracted_text",
+                               "main_text", "spans"}
+    assert rows[0]["extracted_text"]
