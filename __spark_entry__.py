@@ -27,10 +27,17 @@ from closure_html_spark.spark.pages import (
     ORACLE_TITLE,
     pages_from_documents,
 )
+from closure_html_spark.spark.multimodal import (
+    ORACLE_MEDIA_DECODE,
+    ORACLE_MEDIA_META,
+    q_media_decode,
+    q_media_meta,
+)
 from closure_html_spark.spark.pipeline import (
     extract_pages,
     nodes_of,
     serialize_pages,
+    tokens_of,
 )
 
 
@@ -92,6 +99,15 @@ def _q_serialize_roundtrip(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_tokens_histogram(spark, sf_dir):
+    """Lexer token-kind histogram over the parsed corpus (tokens table)."""
+    pages = pages_from_documents(spark, sf_dir)
+    toks = tokens_of(pages, id_cols=("doc_id",))
+    return (toks.groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("kind"))
+
+
 def _q_nodes_histogram(spark, sf_dir):
     """DOM-node name histogram over the parsed corpus -- the exploded nodes
     table as a relational surface.  Template 0 node mix is deterministic."""
@@ -111,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": _q_extract_spans,
         "serialize_roundtrip": _q_serialize_roundtrip,
         "nodes_histogram": _q_nodes_histogram,
+        "tokens_histogram": _q_tokens_histogram,
         # relational shell (SURVEY.md §2.10)
         "pricing_summary": R.q_pricing_summary,
         "top_revenue_nations": R.q_top_revenue_nations,
@@ -127,6 +144,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_shingles": R.q_ngram_shingles,
         "ann_cosine_topk": R.q_ann_cosine_topk,
         "minhash_bands": R.q_minhash_bands,
+        "lang_id": R.q_lang_id,
+        "simhash": R.q_simhash,
+        "embedding_neardup": R.q_embedding_neardup,
+        # multimodal plumbing
+        "media_decode": q_media_decode,
+        "media_meta": q_media_meta,
     }
 
 
@@ -161,5 +184,10 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": R.ORACLE_FINGERPRINT,
         "ngram_shingles": R.ORACLE_NGRAM,
         "ann_cosine_topk": R.ORACLE_ANN,
-        # minhash_bands: xxhash64 internals are engine-specific -> rows-only
+        "lang_id": R.ORACLE_LANG_ID,
+        "embedding_neardup": R.ORACLE_EMBEDDING_NEARDUP,
+        "media_decode": ORACLE_MEDIA_DECODE,
+        "media_meta": ORACLE_MEDIA_META,
+        # minhash_bands, simhash: xxhash64 is engine-specific -> rows-only
+        # tokens_histogram, nodes_histogram: tedious in SQL -> rows-only
     }

@@ -1,0 +1,116 @@
+"""Resumable, lineage-tracked batch runs (north_rule requirements).
+
+At 10^12-document scale a run WILL be interrupted; the unit of recovery is
+the url-hash bucket:
+
+  - pages are assigned a stable bucket = pmod(xxhash64(url), n_buckets)
+    (the Iceberg `bucket(N, url)` transform equivalent);
+  - output parquet is partitioned by bucket;
+  - after each bucket group lands, a manifest row
+    (bucket, input_count, output_count, warn_count, wall_sec, status,
+     run_id) is appended to <output>/_lineage;
+  - a resumed run anti-joins pending buckets against completed manifests
+    and processes only the remainder -- already-landed buckets are never
+    recomputed or rewritten (idempotent restart).
+
+Skew: CC host distributions are Zipfian.  `salt_skewed` splits any bucket
+whose row count exceeds `skew_factor` x median across extra salt buckets
+before the parse stage, so one hot host cannot stall a partition.
+parse/extract is embarrassingly parallel, so salting is always safe here
+(no key-locality requirement).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import extract_pages
+
+LINEAGE_SCHEMA = ("bucket int, input_count long, output_count long, "
+                  "warn_count long, wall_sec double, status string, "
+                  "run_id string")
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+
+
+def completed_buckets(spark: SparkSession, output_dir: str) -> set[int]:
+    try:
+        man = spark.read.schema(LINEAGE_SCHEMA).parquet(f"{output_dir}/_lineage")
+    except Exception:
+        return set()
+    rows = (man.filter(F.col("status") == "ok")
+            .select("bucket").distinct().collect())
+    return {r["bucket"] for r in rows}
+
+
+def salt_skewed(df: DataFrame, key: str = "url_host",
+                skew_factor: float = 4.0, n_salt: int = 8) -> DataFrame:
+    """Add a `salt` column: 0 for normal keys, 0..n_salt-1 (hash-derived,
+    deterministic) for keys whose frequency exceeds skew_factor x median.
+    Callers repartition on (key, salt) to split hot keys."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("_cnt"))
+    median = counts.approxQuantile("_cnt", [0.5], 0.01)[0] or 1.0
+    hot = counts.filter(F.col("_cnt") > skew_factor * median) \
+                .select(key).withColumn("_hot", F.lit(True))
+    return (df.join(F.broadcast(hot), key, "left")
+            .withColumn(
+                "salt",
+                F.when(F.col("_hot").isNotNull(),
+                       F.pmod(F.xxhash64("url"), F.lit(n_salt)).cast("int"))
+                 .otherwise(F.lit(0)))
+            .drop("_hot"))
+
+
+def run_extraction_with_lineage(spark: SparkSession, pages: DataFrame,
+                                output_dir: str, n_buckets: int = 64,
+                                group_size: int = 16,
+                                run_id: str | None = None) -> dict:
+    """Extract `pages` into parquet partitioned by url-hash bucket, with a
+    lineage manifest per bucket group; re-running after a failure skips
+    completed buckets (resume via anti-join on the manifest).
+
+    Returns {"processed": [...buckets...], "skipped": [...], "run_id": ...}.
+    """
+    run_id = run_id or f"run-{int(time.time() * 1000)}"
+    pages_b = with_bucket(pages, n_buckets)
+
+    done = completed_buckets(spark, output_dir)
+    todo = sorted(set(range(n_buckets)) - done)
+    result = {"processed": [], "skipped": sorted(done), "run_id": run_id}
+
+    for g in range(0, len(todo), group_size):
+        group = todo[g:g + group_size]
+        t0 = time.time()
+        part = pages_b.filter(F.col("bucket").isin(group))
+        ext = extract_pages(part, id_cols=("url", "bucket"))
+        ext = ext.cache()
+        stats = (ext.groupBy("bucket")
+                 .agg(F.count(F.lit(1)).alias("output_count"),
+                      F.sum("n_warns").alias("warn_count"))
+                 .collect())
+        inputs = {r["bucket"]: r["c"] for r in
+                  part.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+                  .collect()}
+        (ext.write.partitionBy("bucket").mode("append")
+            .parquet(f"{output_dir}/extracted"))
+        wall = time.time() - t0
+        man_rows = [(int(r["bucket"]), int(inputs.get(r["bucket"], 0)),
+                     int(r["output_count"]), int(r["warn_count"] or 0),
+                     float(wall / max(len(group), 1)), "ok", run_id)
+                    for r in stats]
+        # buckets with zero input still count as completed
+        seen = {r[0] for r in man_rows}
+        for b in group:
+            if b not in seen:
+                man_rows.append((b, 0, 0, 0, 0.0, "ok", run_id))
+        spark.createDataFrame(man_rows, LINEAGE_SCHEMA) \
+             .write.mode("append").parquet(f"{output_dir}/_lineage")
+        ext.unpersist()
+        result["processed"].extend(group)
+    return result

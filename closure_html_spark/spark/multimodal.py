@@ -1,0 +1,128 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque `binary` columns with a typed metadata struct --
+the schema a 100 TB training-data pipeline uses so Parquet/Iceberg can
+store media inline or by reference without the engine interpreting bytes.
+
+The decode/resize/frame-sample kernels are STUBBED (this container has no
+image/audio codecs): `decode_media` raises NotImplementedError for real
+codecs and provides a deterministic fake decoder for the synthetic `fake/*`
+mime types, so the Spark-side plumbing -- schema, Arrow batch shape,
+mapInPandas signature, partition behavior -- is real and fully tested.
+Swapping in PIL/ffmpeg later changes only `_decode_one`.
+
+media(media_id long, doc_id long, mime string, payload binary,
+      meta struct<width:int, height:int, n_frames:int, sample_rate:int>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = ("media_id long, doc_id long, mime string, payload binary, "
+                "meta struct<width:int,height:int,n_frames:int,"
+                "sample_rate:int>")
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic media table: payload = utf-8 bytes of the
+    document text (a stand-in blob); metadata derived from doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mime = (F.when(F.col("doc_id") % 3 == 0, F.lit("fake/image"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("fake/audio"))
+            .otherwise(F.lit("fake/video")))
+    return docs.select(
+        (F.col("doc_id") * 10).alias("media_id"),
+        "doc_id",
+        mime.alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+            (F.col("doc_id") % 30 + 1).cast("int").alias("n_frames"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def _decode_one(mime: str, payload: bytes, meta) -> dict:
+    """STUB decode kernel.  Real codecs are not available in this container;
+    fake/* mime types get a deterministic decode so the pipeline is testable
+    end-to-end."""
+    if not mime.startswith("fake/"):
+        raise NotImplementedError(
+            f"codec for {mime!r} not bundled; plug a real decoder here")
+    digest = hashlib.sha256(payload).hexdigest()
+    return {
+        "byte_len": len(payload),
+        "sha256": digest,
+        # fake "feature": 8 deterministic floats from the digest
+        "feature": [int(digest[i * 2:i * 2 + 2], 16) / 255.0
+                    for i in range(8)],
+    }
+
+
+DECODED_COLS = ("byte_len int, sha256 string, feature array<float>")
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: (media_id, doc_id) + decoded features.
+    Arrow-batched; one Python call per batch, not per row."""
+    schema = "media_id long, doc_id long, " + DECODED_COLS
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "doc_id": pdf["doc_id"],
+                   "byte_len": [], "sha256": [], "feature": []}
+            for mime, payload, meta in zip(pdf["mime"], pdf["payload"],
+                                           pdf["meta"]):
+                d = _decode_one(mime, bytes(payload), meta)
+                out["byte_len"].append(d["byte_len"])
+                out["sha256"].append(d["sha256"])
+                out["feature"].append(d["feature"])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, schema)
+
+
+def q_media_decode(spark, sf_dir):
+    """Decoded media stats -- byte_len/sha256 are SQL-expressible over
+    documents, so the oracle checks the whole synthesize->decode path."""
+    media = media_from_documents(spark, sf_dir)
+    return (decode_media(media)
+            .select("media_id", "doc_id", "byte_len", "sha256")
+            .orderBy("doc_id"))
+
+
+ORACLE_MEDIA_DECODE = """
+SELECT doc_id * 10 AS media_id, doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       sha256(text) AS sha256
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_media_meta(spark, sf_dir):
+    """Typed-metadata projection + aggregation by mime class."""
+    media = media_from_documents(spark, sf_dir)
+    return (media.groupBy("mime")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg(F.col("meta.width")).alias("avg_w"),
+                 F.max(F.col("meta.n_frames")).alias("max_frames"))
+            .orderBy("mime"))
+
+
+ORACLE_MEDIA_META = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'fake/image'
+            WHEN doc_id % 3 = 1 THEN 'fake/audio'
+            ELSE 'fake/video' END AS mime,
+       COUNT(*) AS n,
+       AVG(CAST(doc_id % 640 + 16 AS INT)) AS avg_w,
+       CAST(MAX(doc_id % 30 + 1) AS INT) AS max_frames
+FROM documents GROUP BY 1 ORDER BY mime
+"""

@@ -155,3 +155,58 @@ def with_url_bucket(df: DataFrame, num_buckets: int = 1024) -> DataFrame:
     key used for Iceberg-style layout, lineage and resumable runs."""
     return df.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int"))
+
+
+def tokens_of(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
+              default_charset: str = "utf-8") -> DataFrame:
+    """Exploded `tokens` table (FIXTURES.md §2): the raw lexer output, one
+    row per token -- the debugging/inspection surface for the tokenizer."""
+    from ..parser.tokenizer import Tokenizer
+    id_fields = ", ".join(f"{n} {t}" for n, t in df.dtypes if n in id_cols)
+    schema = (id_fields + ", pos int, kind string, name string, "
+              "attrs map<string,string>, text string")
+    cols = list(id_cols) + ["html"]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dtd = load_dtd()
+        for pdf in batches:
+            rows = {c: [] for c in cols[:-1]}
+            pos_c, kind_c, name_c, attrs_c, text_c = [], [], [], [], []
+            for idx in range(len(pdf)):
+                try:
+                    text, _ = decode_html(bytes(pdf["html"].iloc[idx]),
+                                          default_charset)
+                    tk = Tokenizer(text, dtd.entities)
+                    toks = list(tk.tokens())
+                except Exception:
+                    continue
+                for pos, tok in enumerate(toks):
+                    for c in id_cols:
+                        rows[c].append(pdf[c].iloc[idx])
+                    pos_c.append(pos)
+                    kind = tok[0]
+                    kind_c.append(kind)
+                    if kind in ("start", "empty"):
+                        name_c.append(tok[1])
+                        attrs_c.append(
+                            {(a[0] if isinstance(a, tuple) else a):
+                             (a[1] if isinstance(a, tuple) else "")
+                             for a in tok[2]})
+                        text_c.append(None)
+                    elif kind == "end":
+                        name_c.append(tok[1])
+                        attrs_c.append({})
+                        text_c.append(None)
+                    elif kind == "eof":
+                        name_c.append(None)
+                        attrs_c.append({})
+                        text_c.append(None)
+                    else:  # pcdata/comment/define/pi
+                        name_c.append(None)
+                        attrs_c.append({})
+                        text_c.append(tok[1])
+            rows.update(pos=pos_c, kind=kind_c, name=name_c, attrs=attrs_c,
+                        text=text_c)
+            yield pd.DataFrame(rows)
+
+    return df.select(*cols).mapInPandas(fn, schema)

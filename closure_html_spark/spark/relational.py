@@ -403,3 +403,118 @@ def q_minhash_bands(spark, sf_dir, n_hashes: int = 16, n_bands: int = 4):
                  F.min("doc_id").alias("min_doc"))
             .filter(F.col("n_docs") > 1)
             .orderBy("band", "bucket"))
+
+
+_LANG_STOPS = {
+    "en": r"\b(the|and|of|is|to)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|que|es)\b",
+}
+
+
+def q_lang_id(spark, sf_dir):
+    """n-gram/stopword language-ID heuristic, fully JVM-side; the guess
+    formula is ANSI-SQL so the oracle replays it exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = {
+        lang: F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                          F.lit(pat), F.lit(0)))
+        for lang, pat in _LANG_STOPS.items()
+    }
+    cjk = F.size(F.regexp_extract_all(F.col("text"),
+                                      F.lit(r"[一-鿿]"), F.lit(0)))
+    best = (F.when(cjk > 0, F.lit("zh"))
+            .when((counts["de"] > counts["en"]) &
+                  (counts["de"] >= counts["fr"]) &
+                  (counts["de"] >= counts["es"]), F.lit("de"))
+            .when((counts["fr"] > counts["en"]) &
+                  (counts["fr"] >= counts["es"]), F.lit("fr"))
+            .when(counts["es"] > counts["en"], F.lit("es"))
+            .otherwise(F.lit("en")))
+    return (docs.select("doc_id",
+                        counts["en"].alias("n_en"),
+                        counts["de"].alias("n_de"),
+                        best.alias("lang_guess"))
+            .orderBy("doc_id"))
+
+
+ORACLE_LANG_ID = """
+WITH c AS (
+  SELECT doc_id,
+    CAST(LEN(regexp_extract_all(LOWER(text), '\\b(the|and|of|is|to)\\b')) AS INT) AS n_en,
+    CAST(LEN(regexp_extract_all(LOWER(text), '\\b(der|die|das|und|ist)\\b')) AS INT) AS n_de,
+    LEN(regexp_extract_all(LOWER(text), '\\b(le|la|les|et|est)\\b')) AS n_fr,
+    LEN(regexp_extract_all(LOWER(text), '\\b(el|los|las|que|es)\\b')) AS n_es,
+    LEN(regexp_extract_all(text, '[一-鿿]')) AS n_cjk
+  FROM documents
+)
+SELECT doc_id, n_en, n_de,
+       CASE WHEN n_cjk > 0 THEN 'zh'
+            WHEN n_de > n_en AND n_de >= n_fr AND n_de >= n_es THEN 'de'
+            WHEN n_fr > n_en AND n_fr >= n_es THEN 'fr'
+            WHEN n_es > n_en THEN 'es'
+            ELSE 'en' END AS lang_guess
+FROM c ORDER BY doc_id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash per document, fully JVM-side: per-word xxhash64,
+    explode, per-bit majority vote, reassemble.  Near-dup docs differ in
+    few bits.  No SQL oracle (xxhash64 is engine-specific): rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    exploded = docs.select("doc_id", words).withColumn(
+        "h", F.xxhash64("w"))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{b}")
+        for b in range(64)]
+    agg = exploded.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(F.col(f"b{b}") > 0,
+                           F.lit(1).cast("long") * (2 ** b if b < 63
+                                                    else -(2 ** 63))
+                           ).otherwise(F.lit(0))
+    return agg.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+
+
+def q_embedding_neardup(spark, sf_dir, threshold: float = 0.4):
+    """Embedding-cosine near-duplicate pairs (i<j, cosine >= threshold):
+    the exact-similarity complement to MinHash for semantic dedup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"),
+                   F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("b_id"),
+                   F.col("embedding").alias("b_emb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a_emb"), F.col("b_emb"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    sim = F.round(dot / (norm(F.col("a_emb")) * norm(F.col("b_emb"))), 6)
+    return (a.crossJoin(b)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", sim.alias("sim"))
+            .filter(F.col("sim") >= threshold)
+            .orderBy("a_id", "b_id"))
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS sim
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+        6) >= 0.4
+ORDER BY a_id, b_id
+"""
