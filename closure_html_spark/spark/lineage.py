@@ -67,6 +67,31 @@ def salt_skewed(df: DataFrame, key: str = "url_host",
             .drop("_hot"))
 
 
+def _cleanup_incomplete_buckets(spark: SparkSession, output_dir: str,
+                                done: set[int]) -> list[int]:
+    """Delete output partitions of buckets with NO ok-manifest: a run killed
+    mid-write can leave partial parquet under extracted/bucket=N/ before its
+    manifest lands; those buckets are recomputed, so their partial output
+    must go first (exactly-once at bucket granularity).  Uses the Hadoop
+    FileSystem API so it works for file://, HDFS and S3A alike."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(f"{output_dir}/extracted")
+    fs = path.getFileSystem(conf)
+    removed = []
+    if not fs.exists(path):
+        return removed
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if not name.startswith("bucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        if b not in done:
+            fs.delete(status.getPath(), True)
+            removed.append(b)
+    return removed
+
+
 def run_extraction_with_lineage(spark: SparkSession, pages: DataFrame,
                                 output_dir: str, n_buckets: int = 64,
                                 group_size: int = 16,
@@ -81,8 +106,10 @@ def run_extraction_with_lineage(spark: SparkSession, pages: DataFrame,
     pages_b = with_bucket(pages, n_buckets)
 
     done = completed_buckets(spark, output_dir)
+    cleaned = _cleanup_incomplete_buckets(spark, output_dir, done)
     todo = sorted(set(range(n_buckets)) - done)
-    result = {"processed": [], "skipped": sorted(done), "run_id": run_id}
+    result = {"processed": [], "skipped": sorted(done), "run_id": run_id,
+              "cleaned_partial": cleaned}
 
     for g in range(0, len(todo), group_size):
         group = todo[g:g + group_size]

@@ -73,3 +73,31 @@ def test_salt_skewed_splits_hot_hosts(spark, pages):
     assert cold.select("salt").distinct().collect()[0]["salt"] == 0
     # salting never changes row count
     assert salted.count() == pages.count()
+
+
+def test_resume_cleans_partial_bucket_output(spark, pages, tmp_path_factory):
+    """A run killed mid-write leaves parquet under bucket=N with no
+    manifest; resume must delete it before recomputing (exactly-once at
+    bucket granularity)."""
+    import shutil
+
+    from closure_html_spark.spark.lineage import LINEAGE_SCHEMA
+    out = str(tmp_path_factory.mktemp("partial"))
+    run_extraction_with_lineage(spark, pages, out, n_buckets=8, group_size=2)
+    n_full = spark.read.parquet(f"{out}/extracted").count()
+    # recreate the kill state: manifests only for 0-3; bucket 5 output
+    # present but unmanifested (partial write); 4,6,7 gone entirely
+    man = [tuple(r) for r in
+           spark.read.schema(LINEAGE_SCHEMA).parquet(f"{out}/_lineage")
+           .filter("bucket < 4").collect()]
+    shutil.rmtree(f"{out}/_lineage")
+    spark.createDataFrame(man, LINEAGE_SCHEMA).write.parquet(f"{out}/_lineage")
+    for b in (4, 6, 7):
+        shutil.rmtree(f"{out}/extracted/bucket={b}")
+
+    r = run_extraction_with_lineage(spark, pages, out, n_buckets=8)
+    assert r["processed"] == [4, 5, 6, 7]
+    assert r["cleaned_partial"] == [5]
+    final = spark.read.parquet(f"{out}/extracted")
+    assert final.count() == n_full
+    assert final.select("url").distinct().count() == n_full
