@@ -29,6 +29,7 @@ class Dtd:
     __slots__ = (
         "include", "exclude", "obegin", "oend", "attlist", "entities",
         "roots", "resolve", "eqv", "empty", "surclusion", "element_names",
+        "valid_tags",
     )
 
     def __init__(self, data: dict):
@@ -50,6 +51,8 @@ class Dtd:
         self.eqv = data["eqv_class"]
         self.surclusion = {k: frozenset(v) for k, v in data["surclusion"].items()}
         self.element_names = frozenset(els.keys())
+        # tag-exists? precomputed (NOSCRIPT special-cased out, :959-967)
+        self.valid_tags = self.element_names - {"NOSCRIPT"}
         # empty-element-p (sgml-parse.lisp:1108-1109): empty include set
         self.empty = frozenset(k for k, v in self.include.items() if not v)
 

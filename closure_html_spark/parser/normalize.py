@@ -78,3 +78,113 @@ def normalized_tokens(tokenizer, dtd: Dtd):
         elif kind == "eof":
             yield ("E", TOP)
             return
+
+
+def tokenize_normalized(text: str, dtd: Dtd, tk=None):
+    """Whole-document tokenize + normalize in one tight loop.
+
+    Semantically identical to normalized_tokens(FastTokenizer(...)) but
+    without generator layering or per-token dispatch overhead: the fast
+    regexes run inline and only unusual syntax drops into the exact char
+    machine.  Returns (token_list, tokenizer) -- the tokenizer carries the
+    accumulated warnings.
+    """
+    from .tokenizer import (
+        _FAST_END_TAG,
+        _FAST_START_TAG,
+        _SPECIAL,
+        Tokenizer,
+        _fast_atts,
+    )
+    if tk is None:
+        tk = Tokenizer(text, dtd.entities)
+    s = text
+    n = len(s)
+    out = []
+    append = out.append
+    valid = dtd.valid_tags
+    attlist = dtd.attlist
+    warn = tk.warn
+    end_match = _FAST_END_TAG.match
+    start_match = _FAST_START_TAG.match
+    special_search = _SPECIAL.search
+    i = 0
+    while i < n:
+        c = s[i]
+        if c == "<":
+            j = i + 1
+            cj = s[j] if j < n else ""
+            if cj == "/":
+                m = end_match(s, j)
+                if m is not None:
+                    i = m.end()
+                    name = m.group(1).upper()
+                    if name in valid:
+                        append(("E", name))
+                    else:
+                        warn(4, f"There is no such thing as </{name}> -- ignored.")
+                    continue
+            elif cj.isalpha() and cj.isascii():
+                m = start_match(s, j)
+                if m is not None:
+                    i = m.end()
+                    name = m.group(1).upper()
+                    if name in valid:
+                        raw = m.group(2)
+                        mungled = []
+                        if raw:
+                            al = attlist.get(name, ())
+                            for a in _fast_atts(raw):
+                                if type(a) is tuple:
+                                    mungled.append((a[0].upper(), a[1]))
+                                else:
+                                    au = a.upper()
+                                    for slot, typ in al:
+                                        if isinstance(typ, list) and au in typ:
+                                            mungled.append((slot, au.lower()))
+                                            break
+                        append(("S", name, mungled))
+                    else:
+                        warn(4, f"There is no such thing as <{name}> -- ignored.")
+                    continue
+            # slow fallback for this one token
+            tk.i = i
+            tok = tk.read_token()
+            i = tk.i
+            kind = tok[0]
+            if kind == "pcdata":
+                append(("S", PCDATA, tok[1]))
+            elif kind == "comment":
+                append(("C", tok[1]))
+            elif kind == "start" or kind == "empty":
+                name = tok[1]
+                if dtd.tag_exists(name):
+                    append(("S", name, mungle_attlist(dtd, name, tok[2])))
+                else:
+                    warn(4, f"There is no such thing as <{name}> -- ignored.")
+            elif kind == "end":
+                name = tok[1]
+                if dtd.tag_exists(name):
+                    append(("E", name))
+                else:
+                    warn(4, f"There is no such thing as </{name}> -- ignored.")
+            # define/pi dropped; eof cannot occur here (i < n)
+        else:
+            m = special_search(s, i)
+            if m is None:
+                append(("S", PCDATA, s[i:]))
+                i = n
+            else:
+                j = m.start()
+                if s[j] == "<":
+                    # s[i] != '<' here, so j > i strictly
+                    append(("S", PCDATA, s[i:j]))
+                    i = j
+                else:
+                    # entity present: exact machine for this pcdata run
+                    tk.i = i
+                    tok = tk.read_pcdata()
+                    i = tk.i
+                    append(("S", PCDATA, tok[1]))
+    append(("E", TOP))
+    return out, tk

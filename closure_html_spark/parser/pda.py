@@ -21,8 +21,8 @@ inside the vectorized UDF -- no per-node objects.
 from __future__ import annotations
 
 from ..dtd import Dtd, PRESERVES_COMMENTS
-from .normalize import PCDATA, TOP, normalized_tokens
-from .tokenizer import Tokenizer
+from .normalize import PCDATA, TOP, normalized_tokens, tokenize_normalized
+from .tokenizer import FastTokenizer, Tokenizer
 
 
 class Doc:
@@ -76,16 +76,27 @@ _MAX_STEPS_SLACK = 10000
 
 def sgml_parse(dtd: Dtd, text: str, tokenizer: Tokenizer | None = None) -> Doc:
     """Parse decoded text into a Doc rooted at a synthetic top node."""
-    tk = tokenizer if tokenizer is not None else Tokenizer(text, dtd.entities)
-    tokgen = normalized_tokens(tk, dtd)
+    if tokenizer is not None:
+        toks = list(normalized_tokens(tokenizer, dtd))
+        tk = tokenizer
+    else:
+        toks, tk = tokenize_normalized(text, dtd)
+    n_toks = len(toks)
+    ti = 0
 
     doc = Doc()
     root = doc.add("%root", None, None, -1)
     s = root
 
+    # local bindings for the hot loop (doc.add inlined below)
+    d_name = doc.name
+    d_attrs = doc.attrs
+    d_text = doc.text
+    d_parent = doc.parent
+    d_children = doc.children
+
     stack = [_stag(TOP)]
     ein: list = []
-    eof = False
     inclusion = dtd.inclusion
     empty = dtd.empty
     resolve = dtd.resolve
@@ -98,20 +109,15 @@ def sgml_parse(dtd: Dtd, text: str, tokenizer: Tokenizer | None = None) -> Doc:
         if budget < 0:
             tk.warn(5, "parser step budget exceeded -- document truncated")
             break
-        while not eof and len(ein) < 2:
-            tok = next(tokgen, None)
-            if tok is None:
-                eof = True
-                break
-            if tok[0] == "E" and tok[1] == TOP:
-                eof = True
-            ein.append(tok)
+        while len(ein) < 2 and ti < n_toks:
+            ein.append(toks[ti])
+            ti += 1
 
         # ---- transition (sgml-parse.lisp:1111-1172), applied inline ----
         top = stack[-1] if stack else None
         if top is not None and top[1] == PCDATA:
             stack.pop()
-            s = doc.parent[s]
+            s = d_parent[s]
             continue
         if not ein:
             break  # accept (stack empty) or error; either way we are done
@@ -120,23 +126,43 @@ def sgml_parse(dtd: Dtd, text: str, tokenizer: Tokenizer | None = None) -> Doc:
         if kind == "C":
             del ein[0]
             if top is not None and top[1] in PRESERVES_COMMENTS:
-                doc.add(PCDATA, None, see[1], s)
+                nid = len(d_name)
+                d_name.append(PCDATA)
+                d_attrs.append(None)
+                d_text.append(see[1])
+                d_parent.append(s)
+                d_children.append([])
+                d_children[s].append(nid)
             continue
         if kind == "E" and top is not None and top[1] == see[1]:
             stack.pop()
             del ein[0]
-            s = doc.parent[s]
+            s = d_parent[s]
             continue
         if kind == "S" and top is not None and see[1] in inclusion(top[1]):
             del ein[0]
+            nid = len(d_name)
             if see[1] in empty:
                 if see[1] == PCDATA:
-                    doc.add(PCDATA, None, see[2], s)
+                    d_name.append(PCDATA)
+                    d_attrs.append(None)
+                    d_text.append(see[2])
                 else:
-                    doc.add(see[1], see[2], None, s)
+                    d_name.append(see[1])
+                    d_attrs.append(see[2])
+                    d_text.append(None)
+                d_parent.append(s)
+                d_children.append([])
+                d_children[s].append(nid)
             else:
                 stack.append(see)
-                s = doc.add(see[1], see[2], None, s)
+                d_name.append(see[1])
+                d_attrs.append(see[2])
+                d_text.append(None)
+                d_parent.append(s)
+                d_children.append([])
+                d_children[s].append(nid)
+                s = nid
             continue
         if (kind == "S" and see[1] == PCDATA and top is not None
                 and (see[2] == "" or see[2].isspace())

@@ -371,3 +371,73 @@ class Tokenizer:
             self.warn(4, '"--" seen within comment; This is strongly depreciated.')
         self.i = end + 3
         return ("comment", data)
+
+
+# ---------------------------------------------------------------------------
+# Fast path: match a whole well-formed tag with ONE compiled regex and fall
+# back to the exact char machine above for anything unusual.  The fast
+# patterns are deliberately narrower than the grammar (no '&' or quotes in
+# names/unquoted values, no '&' inside quoted literals, whitespace between
+# attributes) so every fast match produces byte-identical tokens to the
+# slow path; non-matches fall through.
+
+_FAST_END_TAG = re.compile(r"/([A-Za-z][A-Za-z0-9.:\-]*)\s*>")
+# attr: sloopy name (minus & ' " =), optional = value (quoted without &,
+# or unquoted sloopy value minus & ' ")
+# NOTE: an attribute NAME may not START with '/' -- the reference's attr
+# loop breaks when the post-whitespace peek is '/' (read-name-and-attributes
+# sgml-parse.lisp:585); '/' mid-name and values starting with '/' are fine.
+_FAST_ATTR_SRC = (
+    r"""[A-Za-z0-9.:\-%~#_+?!@();,\[\]][A-Za-z0-9.:\-%/~#_+?!@();,\[\]]*"""
+    r"""(?:\s*=\s*(?:"[^"&]*"|'[^'&]*'|[A-Za-z0-9.:\-%/~#_+?!@();,\[\]][A-Za-z0-9.:\-%/~#_+?!@();,\[\]=]*))?"""
+)
+_FAST_START_TAG = re.compile(
+    r"([A-Za-z][A-Za-z0-9.:\-]*)"
+    r"((?:\s+" + _FAST_ATTR_SRC + r")*)\s*(/?)>")
+_FAST_ATTR = re.compile(
+    r"""\s*([A-Za-z0-9.:\-%~#_+?!@();,\[\]][A-Za-z0-9.:\-%/~#_+?!@();,\[\]]*)"""
+    r"""(?:\s*=\s*("[^"&]*"|'[^'&]*'|[A-Za-z0-9.:\-%/~#_+?!@();,\[\]][A-Za-z0-9.:\-%/~#_+?!@();,\[\]=]*))?""")
+
+
+def _fast_atts(raw: str) -> list:
+    if not raw:
+        return []
+    atts = []
+    for m in _FAST_ATTR.finditer(raw):
+        name, value = m.group(1), m.group(2)
+        if value is None:
+            atts.append(name)
+        elif value[0] in "\"'":
+            atts.append((name, value[1:-1]))
+        else:
+            atts.append((name, value))
+    return atts
+
+
+class FastTokenizer(Tokenizer):
+    """Tokenizer with the single-regex tag fast path."""
+
+    __slots__ = ()
+
+    def read_token(self):
+        s, i, n = self.s, self.i, self.n
+        if i >= n:
+            return ("eof",)
+        if s[i] != "<":
+            return self.read_pcdata()
+        j = i + 1
+        if j < n:
+            c = s[j]
+            if c == "/":
+                m = _FAST_END_TAG.match(s, j)
+                if m is not None:
+                    self.i = m.end()
+                    return ("end", m.group(1).upper())
+            elif c.isalpha() and c.isascii():
+                m = _FAST_START_TAG.match(s, j)
+                if m is not None:
+                    self.i = m.end()
+                    kind = "empty" if m.group(3) else "start"
+                    return (kind, m.group(1).upper(), _fast_atts(m.group(2)))
+        self.i = j
+        return self.read_tag()
