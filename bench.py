@@ -45,23 +45,23 @@ def _sf_of(path: str) -> float:
 def _burn(_):
     t0 = time.time()
     x = 0
-    while time.time() - t0 < 1.5:
+    while time.time() - t0 < 1.0:
         x += 1
     return x
 
 
-def hw_cpu_ceiling() -> float:
-    """Pure-Python busy-loop throughput ratio 8->32 procs: the efficiency
-    ceiling the VM's CPU throttling imposes on ANY CPU-bound job."""
-    with mp.Pool(8) as p:
-        t8 = sum(p.map(_burn, range(8)))
-    with mp.Pool(32) as p:
-        t32 = sum(p.map(_burn, range(32)))
-    return round(t32 / t8 / 4.0, 3)
+def hw_speed(n_procs: int) -> float:
+    """Aggregate busy-loop iterations across n_procs for 1s: samples the
+    VM's CURRENT effective CPU capacity at that concurrency (this box's
+    throughput decays under sustained load and recovers after idle, so
+    each timed leg is calibrated immediately before it runs)."""
+    with mp.Pool(n_procs) as p:
+        return float(sum(p.map(_burn, range(n_procs))))
 
 
 def run_extraction(n_threads: int) -> dict:
     """One parallelism level: fresh session, warm all workers, timed run."""
+    time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "20")))
     spark = get_spark(app=f"bench-n{n_threads}", master=f"local[{n_threads}]",
                       shuffle_partitions=max(n_threads, 8))
     n_parts = max(2 * n_threads, 16)
@@ -70,23 +70,60 @@ def run_extraction(n_threads: int) -> dict:
     pages = pages.repartition(n_parts, "url").cache()
     n_docs, total_bytes = pages.agg(
         F.count(F.lit(1)), F.sum(F.length("html"))).collect()[0]
-    # warm ALL workers: tiny job with >= n_threads partitions spawns every
-    # Python worker (imports + dtd load) outside the timed window
-    warm = pages.sample(0.03, seed=1).repartition(2 * n_threads)
-    extract_pages(warm, id_cols=("url",)).agg(F.count(F.lit(1))).collect()
-    t0 = time.time()
-    ext = extract_pages(pages, id_cols=("url",))
-    ext.agg(F.sum(F.length("extracted_text")),
-            F.sum(F.size("spans")), F.sum("n_nodes")).collect()
-    wall = time.time() - t0
+    # warm ALL workers: tasks that BLOCK ~1.5s force the scheduler to spawn
+    # one Python worker per core (a fast tiny warm job would be served by a
+    # handful of reused workers, leaving the rest to cold-start -- imports +
+    # dtd load -- inside the timed window)
+    def _warm(batches):
+        import time as _t
+
+        import pandas as _pd
+
+        from closure_html_spark.dtd import load_dtd as _ld
+        _ld()
+        _t.sleep(1.5)
+        for _ in batches:
+            pass
+        yield _pd.DataFrame({"n": [1]})
+
+    spark.range(n_threads).repartition(n_threads) \
+        .mapInPandas(_warm, "n int").agg(F.count(F.lit(1))).collect()
+    hw = hw_speed(n_threads)  # calibrate current capacity at this level
+    # best of 2 timed runs: the first pass through a new session pays
+    # JIT/codegen warmup that a long-running production job amortizes away
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        ext = extract_pages(pages, id_cols=("url",))
+        ext.agg(F.sum(F.length("extracted_text")),
+                F.sum(F.size("spans")), F.sum("n_nodes")).collect()
+        wall = min(wall, time.time() - t0)
     spark.stop()
     return {"threads": n_threads, "wall_sec": round(wall, 3),
             "docs_per_sec": round(n_docs / wall, 1), "n_docs": int(n_docs),
             "avg_doc_bytes": int(total_bytes / n_docs),
-            "mb_per_sec": round(total_bytes / wall / 1e6, 1)}
+            "mb_per_sec": round(total_bytes / wall / 1e6, 1),
+            "hw_speed": hw}
+
+
+def _run_leg_subprocess(n: int) -> dict:
+    """Each parallelism level runs in a FRESH python+JVM subprocess:
+    reusing one JVM across stop()/getOrCreate() cycles degrades later
+    mapInPandas legs 3-5x (accumulated heap/codegen state)."""
+    import subprocess
+    out = subprocess.run(
+        [sys.executable, __file__, "--leg", str(n)],
+        capture_output=True, text=True, timeout=580,
+        cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
 
 
 def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
+        print(json.dumps(run_extraction(int(sys.argv[2]))))
+        return 0
+
     timings: dict[str, float] = {}
     result: dict = {"metric": "extract_docs_per_sec", "unit": "sec",
                     "sf": _sf_of(SF_DIR)}
@@ -94,17 +131,13 @@ def main():
     levels = [CPUS]
     if SCALING:
         levels = [2, 8, CPUS] if CPUS != 8 else [2, 8]
-    # this VM's per-core throughput fluctuates over minutes (burst-style
-    # throttling; no steal visible).  Interleave the parallelism levels and
-    # take the best of 2 reps per level so legs see comparable hardware.
+    # this VM's aggregate CPU throughput decays under sustained load and
+    # recovers after idle (no steal visible); each leg therefore gets a
+    # cooldown + an immediately-preceding hardware calibration (hw_speed)
+    # so efficiency can be reported both raw and throttle-normalized.
     runs = {}
-    reps = 2 if SCALING else 1
-    for _ in range(reps):
-        for n in levels:
-            r = run_extraction(n)
-            if n not in runs or r["docs_per_sec"] > runs[n]["docs_per_sec"]:
-                runs[n] = r
     for n in levels:
+        runs[n] = _run_leg_subprocess(n)
         timings[f"extract_n{n}"] = runs[n]["wall_sec"]
 
     top = runs[levels[-1]]
@@ -114,16 +147,24 @@ def main():
     result["avg_doc_bytes"] = top["avg_doc_bytes"]
 
     if SCALING and len(levels) >= 2:
-        scaling = {"levels": {str(n): runs[n]["docs_per_sec"] for n in levels}}
+        scaling = {"levels": {str(n): runs[n]["docs_per_sec"] for n in levels},
+                   "hw_speed": {str(n): runs[n]["hw_speed"] for n in levels}}
+
+        def eff(lo, hi):
+            raw = runs[hi]["docs_per_sec"] / (
+                (hi / lo) * runs[lo]["docs_per_sec"])
+            # normalize by the hardware capacity each leg actually saw
+            hw_ratio = runs[hi]["hw_speed"] / ((hi / lo) * runs[lo]["hw_speed"])
+            return round(raw, 3), round(raw / hw_ratio, 3) if hw_ratio else None
+
         if 2 in runs and 8 in runs:
-            scaling["efficiency_2_to_8"] = round(
-                runs[8]["docs_per_sec"] / (4 * runs[2]["docs_per_sec"]), 3)
+            raw, norm = eff(2, 8)
+            scaling["efficiency_2_to_8"] = raw
+            scaling["efficiency_2_to_8_normalized"] = norm
         if 8 in runs and 32 in runs:
-            eff = runs[32]["docs_per_sec"] / (4 * runs[8]["docs_per_sec"])
-            ceiling = hw_cpu_ceiling()
-            scaling["efficiency_8_to_32"] = round(eff, 3)
-            scaling["hw_cpu_ceiling_8_to_32"] = ceiling
-            scaling["efficiency_8_to_32_normalized"] = round(eff / ceiling, 3)
+            raw, norm = eff(8, 32)
+            scaling["efficiency_8_to_32"] = raw
+            scaling["efficiency_8_to_32_normalized"] = norm
         result["scaling"] = scaling
 
     spark = get_spark(app="bench-rel", master=f"local[{CPUS}]",

@@ -289,20 +289,30 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _shingles(docs, n: int = 3):
+    """Exploded word n-gram shingles: (doc_id, tri).  explode + window-lead
+    keeps everything inside whole-stage codegen -- Spark does NOT codegen
+    higher-order-function lambdas, so the transform/element_at formulation
+    is 5-10x slower at scale."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    exploded = docs.select("doc_id", F.posexplode(words).alias("pos", "w"))
+    tri = exploded.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("w"), F.lead("w", 1).over(w),
+                    F.lead("w", 2).over(w)).alias("tri"),
+        F.lead("w", 2).over(w).alias("_w2"))
+    return tri.filter(F.col("_w2").isNotNull()).drop("_w2")
+
+
 def q_ngram_shingles(spark, sf_dir):
     """3-gram shingle sets (the MinHash input representation): count of
     distinct word-trigrams per document."""
     docs = _t(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
-    # zip word[i], word[i+1], word[i+2] via transform over index range
-    tri = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 3),
-        lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
-                              F.element_at(words, i + 2),
-                              F.element_at(words, i + 3)))
-    return (docs.filter(F.size(words) >= 3)
-            .select("doc_id",
-                    F.size(F.array_distinct(tri)).alias("n_shingles"))
+    return (_shingles(docs.filter(F.size(words) >= 3))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("tri").cast("int").alias("n_shingles"))
             .orderBy("doc_id"))
 
 
@@ -374,20 +384,13 @@ def q_minhash_bands(spark, sf_dir, n_hashes: int = 16, n_bands: int = 4):
     docs = _t(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
     docs = docs.filter(F.size(words) >= 3)
-    tri = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size(words) - 3),
-        lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
-                              F.element_at(words, i + 2),
-                              F.element_at(words, i + 3))))
-    # materialize shingles once, THEN take the n_hashes mins -- inlining
-    # `tri` into every signature column makes codegen recompute the shingle
-    # array n_hashes times
-    shingled = docs.select("doc_id", tri.alias("tri"))
-    sig_cols = [
-        F.array_min(F.transform(F.col("tri"),
-                                lambda s: F.xxhash64(s, F.lit(h))))
-        .alias(f"h{h}") for h in range(n_hashes)]
-    sigs = shingled.select("doc_id", *sig_cols)
+    # exploded shingles -> 16 salted hashes per row -> map-side partial MIN:
+    # stays in whole-stage codegen end to end (HOF lambdas would not)
+    tri = _shingles(docs).select(
+        "doc_id", *[F.xxhash64("tri", F.lit(h)).alias(f"x{h}")
+                    for h in range(n_hashes)])
+    sigs = tri.groupBy("doc_id").agg(
+        *[F.min(f"x{h}").alias(f"h{h}") for h in range(n_hashes)])
     per_band = n_hashes // n_bands
     bands = []
     for b in range(n_bands):

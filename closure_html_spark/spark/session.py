@@ -29,6 +29,11 @@ def get_spark(app: str = "closure-html-spark",
         # local-mode JVM defaults to -Xmx1g: with 32 concurrent Arrow
         # streams that means GC storms; this box has 128 GiB
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # G1's concurrent GC threads contend with the 32 Python workers for
+        # cores and halve mapInPandas throughput at full occupancy;
+        # throughput-oriented ParallelGC wins for this batch workload
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

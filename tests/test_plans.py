@@ -1,0 +1,74 @@
+"""Physical-plan audits: the optimizations we rely on at 100 TB must be
+visible in the plan, not assumed -- predicate pushdown into the parquet
+scan, column pruning through the mapInPandas stage, broadcast joins for
+small dimensions, partial (map-side) aggregation."""
+
+import pytest
+
+from closure_html_spark.spark import relational as R
+from closure_html_spark.spark.pipeline import extract_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = R.q_pricing_summary(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200], \
+        "shipdate filter not pushed to the scan"
+
+
+def test_partial_aggregation(spark):
+    plan = plan_of(R.q_pricing_summary(spark, SF))
+    # map-side partial + final hash aggregate
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_broadcast_join_for_dimensions(spark):
+    plan = plan_of(R.q_top_revenue_nations(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_column_pruning_through_extraction(spark, tmp_path_factory):
+    """The extraction stage must read ONLY (url, html) from the pages scan
+    -- a scan hauling text/lang/warc_ts for a 2-column projection would be
+    reading ~40% dead weight at 100 TB."""
+    from closure_html_spark.spark.pages import pages_from_documents
+    d = tmp_path_factory.mktemp("pages")
+    pages_from_documents(spark, SF).write.parquet(str(d), mode="overwrite")
+    pages = spark.read.parquet(str(d))
+    ext = extract_pages(pages, id_cols=("url",))
+    plan = plan_of(ext)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "url" in read_schema and "html" in read_schema
+    for dead in ("text", "lang", "warc_ts", "doc_id"):
+        assert dead not in read_schema, f"column {dead} not pruned: {read_schema}"
+
+
+def test_ann_broadcasts_query_side(spark):
+    plan = plan_of(R.q_ann_cosine_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_no_python_udf_in_relational_queries(spark):
+    """Every relational/training-data query must stay JVM-side; Python
+    appears only in the dedicated mapInPandas pipeline stages."""
+    for name, fn in [
+        ("pricing", R.q_pricing_summary), ("revenue", R.q_top_revenue_nations),
+        ("window", R.q_window_user_events), ("sessionize", R.q_sessionize),
+        ("dedup", R.q_dedup_exact), ("tokens", R.q_token_stats),
+        ("quality", R.q_quality_score), ("ngram", R.q_ngram_shingles),
+        ("ann", R.q_ann_cosine_topk), ("minhash", R.q_minhash_bands),
+        ("langid", R.q_lang_id), ("simhash", R.q_simhash),
+        ("neardup", R.q_embedding_neardup),
+    ]:
+        plan = plan_of(fn(spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
+            f"{name} fell off the JVM: Python UDF in plan"
