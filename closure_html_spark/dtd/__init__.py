@@ -14,7 +14,7 @@ elms-eqv :609-614).
 from __future__ import annotations
 
 import json
-from pathlib import Path
+
 
 _DTD = None
 
@@ -75,7 +75,9 @@ class Dtd:
 def load_dtd() -> Dtd:
     global _DTD
     if _DTD is None:
-        path = Path(__file__).parent / "dtd.json"
-        with open(path) as f:
-            _DTD = Dtd(json.load(f))
+        # importlib.resources works both from the filesystem and from a
+        # --py-files zip (zipimport); a bare Path(__file__) open does not
+        from importlib.resources import files
+        data = files(__package__).joinpath("dtd.json").read_text()
+        _DTD = Dtd(json.loads(data))
     return _DTD

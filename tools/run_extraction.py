@@ -1,0 +1,70 @@
+"""spark-submit job entry for the extraction pipeline.
+
+Usage (local sandbox):
+    python tools/package_pyfiles.py                 # -> dist/chs.zip
+    spark-submit --py-files dist/chs.zip \
+        tools/run_extraction.py \
+        --input  <pages parquet dir | synth:<sf_dir>[:tile]> \
+        --output <output dir> \
+        --buckets 64 --group-size 16 [--streaming]
+
+On a real cluster the same invocation runs with --master yarn/k8s and the
+input pointing at the Iceberg/parquet pages table; everything else is
+identical (the engine has no driver-side per-document logic).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="pages parquet dir, or synth:<sf_dir>[:tile]")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--group-size", type=int, default=16)
+    ap.add_argument("--streaming", action="store_true",
+                    help="drain via Structured Streaming (availableNow)")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("chs-extract").getOrCreate()
+
+    from closure_html_spark.spark.lineage import run_extraction_with_lineage
+    from closure_html_spark.spark.pages import pages_from_documents
+    from closure_html_spark.spark.streaming import stream_extract
+
+    if args.streaming:
+        q = stream_extract(spark, args.input, f"{args.output}/extracted",
+                           f"{args.output}/_checkpoint", available_now=True)
+        q.awaitTermination()
+        n = spark.read.parquet(f"{args.output}/extracted").count()
+        print(json.dumps({"mode": "streaming", "rows": n}))
+        return 0
+
+    if args.input.startswith("synth:"):
+        parts = args.input.split(":")
+        tile = int(parts[2]) if len(parts) > 2 else 1
+        pages = pages_from_documents(spark, parts[1], tile=tile)
+    else:
+        pages = spark.read.parquet(args.input)
+
+    res = run_extraction_with_lineage(
+        spark, pages, args.output, n_buckets=args.buckets,
+        group_size=args.group_size)
+    n = spark.read.parquet(f"{args.output}/extracted").count()
+    print(json.dumps({"mode": "batch", "rows": n,
+                      "processed_buckets": len(res["processed"]),
+                      "skipped_buckets": len(res["skipped"]),
+                      "cleaned_partial": res["cleaned_partial"],
+                      "run_id": res["run_id"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
