@@ -72,12 +72,34 @@ class Dtd:
         return cx is not None and cx == cy
 
 
-def load_dtd() -> Dtd:
+# name -> artifact; mirrors the reference catalog (html-parser.lisp:34-53).
+# HTML-3.0 is absent because the reference itself cannot load it: the file
+# pulls an uncataloged IETF PUBLIC entity set and uses SDATA entities the
+# reference's DTD grammar (sgml-dtd.lisp:177-252) does not accept.
+DTD_CATALOG = {
+    "html-4.0-frameset": "dtd.json",          # chtml:parse default
+    "html-4.0-strict": "dtd_html40_strict.json",
+    "html-4.0-transitional": "dtd_html40_transitional.json",
+    "netscape-bookmark": "dtd_netscape_bookmark.json",
+}
+
+_DTDS: dict = {}
+
+
+def load_dtd(name: str = "html-4.0-frameset") -> Dtd:
+    """Load a compiled DTD by catalog name (cached per process).  The
+    parse entry points take the Dtd as a parameter, mirroring the
+    reference's `sgml-parse dtd input` (sgml-parse.lisp:1025)."""
     global _DTD
-    if _DTD is None:
+    dtd = _DTDS.get(name)
+    if dtd is None:
         # importlib.resources works both from the filesystem and from a
         # --py-files zip (zipimport); a bare Path(__file__) open does not
         from importlib.resources import files
-        data = files(__package__).joinpath("dtd.json").read_text()
-        _DTD = Dtd(json.loads(data))
-    return _DTD
+        fname = DTD_CATALOG[name]
+        data = files(__package__).joinpath(fname).read_text()
+        dtd = Dtd(json.loads(data))
+        _DTDS[name] = dtd
+    if name == "html-4.0-frameset":
+        _DTD = dtd
+    return dtd

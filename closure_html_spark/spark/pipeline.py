@@ -210,3 +210,56 @@ def tokens_of(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
             yield pd.DataFrame(rows)
 
     return df.select(*cols).mapInPandas(fn, schema)
+
+
+def bookmarks_of(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
+                 default_charset: str = "utf-8") -> DataFrame:
+    """Parse NETSCAPE-Bookmark-file-1 payloads (the reference's second
+    catalog DTD) into (folder_path, link_title, href) rows -- demonstrates
+    the multi-DTD parse surface (`sgml-parse dtd input`)."""
+    id_fields = ", ".join(f"{n} {t}" for n, t in df.dtypes if n in id_cols)
+    schema = id_fields + ", folder string, link_title string, href string"
+    cols = list(id_cols) + ["html"]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..dtd import PCDATA
+        from ..parser.pda import sgml_parse
+        dtd = load_dtd("netscape-bookmark")
+        for pdf in batches:
+            rows = {c: [] for c in cols[:-1]}
+            folder_c, title_c, href_c = [], [], []
+            for idx in range(len(pdf)):
+                try:
+                    text, _ = decode_html(bytes(pdf["html"].iloc[idx]),
+                                          default_charset)
+                    doc = sgml_parse(dtd, text)
+                except Exception:
+                    continue
+                # folder = concatenated H3 headings on the DL ancestor path
+                def text_of(n):
+                    return "".join(doc.text[c] or "" for c in doc.children[n]
+                                   if doc.name[c] == PCDATA)
+                stack = [(doc.root, "")]
+                while stack:
+                    n, folder = stack.pop()
+                    nm = doc.name[n]
+                    if nm == "A":
+                        href = next((v for k, v in (doc.attrs[n] or ())
+                                     if k == "HREF"), None)
+                        for c in id_cols:
+                            rows[c].append(pdf[c].iloc[idx])
+                        folder_c.append(folder)
+                        title_c.append(text_of(n))
+                        href_c.append(href)
+                        continue
+                    if nm == "DT":
+                        h3 = next((c for c in doc.children[n]
+                                   if doc.name[c] == "H3"), -1)
+                        if h3 >= 0:
+                            folder = (folder + "/" + text_of(h3)).lstrip("/")
+                    for c in reversed(doc.children[n]):
+                        stack.append((c, folder))
+            rows.update(folder=folder_c, link_title=title_c, href=href_c)
+            yield pd.DataFrame(rows)
+
+    return df.select(*cols).mapInPandas(fn, schema)

@@ -221,3 +221,30 @@ def test_style_in_p_hoisted_via_resolve():
 def test_truncated_document_closes_stack():
     assert rt("<html><body><div><p>x") == (
         "<HTML><HEAD></HEAD><BODY><DIV><P>x</P></DIV></BODY></HTML>")
+
+
+def test_netscape_bookmark_dtd():
+    # the reference's second catalog DTD (NETSCAPE-Bookmark-file-1)
+    from closure_html_spark.parser.pda import sgml_parse
+    nb = load_dtd("netscape-bookmark")
+    src = ('<!DOCTYPE NETSCAPE-Bookmark-file-1><TITLE>B</TITLE><H1>B</H1>'
+           '<DL><DT><H3>Tools</H3><DL>'
+           '<DT><A HREF="https://example.org/">Example</A></DL></DL>')
+    got = doc_to_lhtml(sgml_parse(nb, src), 1)  # node 1 = BOOKMARK-FILE
+    assert got[0] == "BOOKMARK-FILE"
+    assert got[2] == ("TITLE", (), "B")
+    dl = got[4]
+    assert dl[0] == "DL"
+    dt = dl[2]
+    assert dt[2] == ("H3", (), "Tools")
+    inner_a = dt[3][2][2]
+    assert inner_a == ("A", (("HREF", "https://example.org/"),), "Example")
+
+
+def test_multi_dtd_isolation():
+    # strict DTD lacks FONT/CENTER; frameset has them; instances are cached
+    strict = load_dtd("html-4.0-strict")
+    frameset = load_dtd("html-4.0-frameset")
+    assert "FONT" not in strict.element_names
+    assert "FONT" in frameset.element_names
+    assert load_dtd("html-4.0-strict") is strict

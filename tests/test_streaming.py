@@ -61,3 +61,44 @@ def test_stream_host_rates_watermark(spark, staged_pages, tmp_path_factory):
     hosts = {r["host"] for r in got.select("host").distinct().collect()}
     assert "host0.example" in hosts
     assert got.filter(F.col("win.start").isNull()).count() == 0
+
+
+def test_stream_dedup_urls_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState first-seen dedup: duplicates inside a batch
+    AND across restarts (state from checkpoint) are dropped."""
+    from pyspark.sql import functions as F
+
+    from closure_html_spark.spark.streaming import stream_dedup_urls
+
+    in_dir = str(tmp_path_factory.mktemp("dedup_in"))
+    out_dir = str(tmp_path_factory.mktemp("dedup_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+
+    pages = pages_from_documents(spark, SF).select("url", "warc_ts", "html")
+    # wave 1: every url twice
+    pages.unionAll(pages).repartition(4).write.mode("append").parquet(in_dir)
+    n_unique = pages.count()
+
+    def run():
+        stream = (spark.readStream
+                  .schema("url string, warc_ts timestamp, html binary")
+                  .parquet(in_dir))
+        dedup = stream_dedup_urls(stream, n_groups=8)
+        q = (dedup.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n_unique
+    assert got.select("url").distinct().count() == n_unique
+
+    # wave 2: same urls again + 100 genuinely new ones
+    new = pages.limit(100).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?new=1")))
+    pages.unionAll(new).repartition(4).write.mode("append").parquet(in_dir)
+    run()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n_unique + 100, "cross-restart state failed"
+    assert got.select("url").distinct().count() == n_unique + 100
