@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": R.q_fingerprint,
         "ngram_shingles": R.q_ngram_shingles,
         "ann_cosine_topk": R.q_ann_cosine_topk,
+        "ann_lsh_topk": R.q_ann_lsh_topk,
         "minhash_bands": R.q_minhash_bands,
         "lang_id": R.q_lang_id,
         "simhash": R.q_simhash,
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": R.ORACLE_EMBEDDING_NEARDUP,
         "media_decode": ORACLE_MEDIA_DECODE,
         "media_meta": ORACLE_MEDIA_META,
-        # minhash_bands, simhash: xxhash64 is engine-specific -> rows-only
+        # minhash_bands, simhash, ann_lsh_topk: engine-specific hashing
+        #   -> rows-only (LSH recall vs brute force asserted in tests)
         # tokens_histogram, nodes_histogram: tedious in SQL -> rows-only
     }

@@ -74,3 +74,16 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"url", "title", "extracted_text",
                                "main_text", "spans"}
     assert rows[0]["extracted_text"]
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """The LSH scale path must recover a substantial share of the exact
+    top-k even on uniformly random vectors (where LSH is hardest); on real
+    near-dup data recall approaches 1."""
+    from closure_html_spark.spark import relational as R
+    lsh = {(r["q_id"], r["vec_id"])
+           for r in R.q_ann_lsh_topk(spark, SF_DIR, k=5).collect()}
+    exact = {(r["q_id"], r["vec_id"])
+             for r in R.q_ann_cosine_topk(spark, SF_DIR, k=5).collect()}
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.5, f"LSH recall collapsed: {recall}"
