@@ -108,6 +108,18 @@ def _q_tokens_histogram(spark, sf_dir):
             .orderBy("kind"))
 
 
+def _q_warn_histogram(spark, sf_dir):
+    """Corpus warning metrics by parse-warn level (1-5): the reference's
+    warning channel as aggregable counters.  Variant templates 1-3 contain
+    deliberate tag soup, so levels 3/4 are non-zero."""
+    pages = pages_from_documents(spark, sf_dir, tile=4, variants=4)
+    ext = extract_pages(pages, id_cols=("doc_id",))
+    return (ext.select(F.posexplode("warn_levels").alias("level0", "n"))
+            .groupBy((F.col("level0") + 1).alias("level"))
+            .agg(F.sum("n").alias("n_warnings"))
+            .orderBy("level"))
+
+
 def _q_nodes_histogram(spark, sf_dir):
     """DOM-node name histogram over the parsed corpus -- the exploded nodes
     table as a relational surface.  Template 0 node mix is deterministic."""
@@ -128,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serialize_roundtrip": _q_serialize_roundtrip,
         "nodes_histogram": _q_nodes_histogram,
         "tokens_histogram": _q_tokens_histogram,
+        "warn_histogram": _q_warn_histogram,
         # relational shell (SURVEY.md §2.10)
         "pricing_summary": R.q_pricing_summary,
         "top_revenue_nations": R.q_top_revenue_nations,

@@ -28,7 +28,7 @@ from ..serialize import serialize_doc
 EXTRACT_RESULT_COLS = (
     "title string, extracted_text string, main_text string, "
     "spans array<struct<start:int,end:int,score:double>>, "
-    "n_nodes int, n_warns int, charset string"
+    "n_nodes int, n_warns int, warn_levels array<int>, charset string"
 )
 
 
@@ -51,7 +51,7 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
         for pdf in batches:
             out = {c: pdf[c] for c in id_cols}
             titles, texts, mains, spans_col = [], [], [], []
-            n_nodes, n_warns, charsets = [], [], []
+            n_nodes, n_warns, warn_levels, charsets = [], [], [], []
             for raw in pdf["html"]:
                 try:
                     text, cs = decode_html(bytes(raw), default_charset)
@@ -65,6 +65,13 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                         for s, e, sc in res["spans"]])
                     n_nodes.append(len(doc.name))
                     n_warns.append(len(doc.warnings))
+                    # parse-warn levels 1-5 (sgml-parse.lisp:285-292) as
+                    # per-doc counters -> aggregable corpus metrics
+                    lv = [0, 0, 0, 0, 0]
+                    for level, _ in doc.warnings:
+                        if 1 <= level <= 5:
+                            lv[level - 1] += 1
+                    warn_levels.append(lv)
                     charsets.append(cs)
                 except Exception as exc:  # never kill the batch for one doc
                     titles.append("")
@@ -73,10 +80,11 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                     spans_col.append([])
                     n_nodes.append(0)
                     n_warns.append(-1)
+                    warn_levels.append([0, 0, 0, 0, 0])
                     charsets.append(f"error:{type(exc).__name__}")
             out.update(title=titles, extracted_text=texts, main_text=mains,
                        spans=spans_col, n_nodes=n_nodes, n_warns=n_warns,
-                       charset=charsets)
+                       warn_levels=warn_levels, charset=charsets)
             yield pd.DataFrame(out)
 
     return df.select(*cols).mapInPandas(fn, schema)
