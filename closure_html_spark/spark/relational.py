@@ -222,14 +222,23 @@ FROM documents GROUP BY 1 ORDER BY survivor
 """
 
 
+# BPE-ish pre-tokenization pattern (GPT-2 style, ASCII+Latin-1 letters --
+# identical semantics in Java regex and RE2 so the oracle can replay it)
+_BPEISH = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-zÀ-ÿ]+| ?[0-9]+"
+           r"| ?[^\sA-Za-zÀ-ÿ0-9]+|\s+")
+
+
 def q_token_stats(spark, sf_dir):
-    """Token counting + quality ratios, all JVM-side."""
+    """Token counting (whitespace + BPE-ish regex) + quality ratios,
+    all JVM-side."""
     docs = _t(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
     return (docs.select(
         "doc_id",
         F.length("text").alias("n_chars_m"),
         F.size(words).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPEISH), F.lit(0)))
+         .alias("n_bpeish"),
         F.size(F.array_distinct(words)).alias("n_distinct"),
         F.round(F.try_divide(F.size(F.array_distinct(words)), F.size(words)), 4)
          .alias("ttr"))
@@ -240,6 +249,9 @@ ORACLE_TOKEN_STATS = """
 SELECT doc_id,
        CAST(LENGTH(text) AS INT) AS n_chars_m,
        CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS INT) AS n_tokens,
+       CAST(LEN(regexp_extract_all(text,
+         $$'(?:s|t|re|ve|m|ll|d)| ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^\sA-Za-zÀ-ÿ0-9]+|\s+$$))
+         AS INT) AS n_bpeish,
        CAST(LEN(list_distinct(regexp_split_to_array(TRIM(text), '\\s+'))) AS INT)
          AS n_distinct,
        ROUND(LEN(list_distinct(regexp_split_to_array(TRIM(text), '\\s+')))
