@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": R.q_token_stats,
         "quality_score": R.q_quality_score,
         "fingerprint": R.q_fingerprint,
+        "winnow_fingerprint": R.q_winnow_fingerprint,
         "ngram_shingles": R.q_ngram_shingles,
         "ann_cosine_topk": R.q_ann_cosine_topk,
         "ann_lsh_topk": R.q_ann_lsh_topk,
@@ -196,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": R.ORACLE_TOKEN_STATS,
         "quality_score": R.ORACLE_QUALITY,
         "fingerprint": R.ORACLE_FINGERPRINT,
+        "winnow_fingerprint": R.ORACLE_WINNOW,
         "ngram_shingles": R.ORACLE_NGRAM,
         "ann_cosine_topk": R.ORACLE_ANN,
         "lang_id": R.ORACLE_LANG_ID,

@@ -601,3 +601,51 @@ def q_ann_lsh_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
             .filter(F.col("rnk") <= k)
             .select("q_id", "vec_id", "sim", "rnk")
             .orderBy("q_id", "rnk"))
+
+
+def q_winnow_fingerprint(spark, sf_dir, k: int = 8, w: int = 16):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    rolling k-gram hashes, keep the minimum of every w-window, distinct.
+    Guarantees any shared substring of length >= w+k-1 yields a shared
+    fingerprint -- the plagiarism/near-dup detection primitive.  Hash =
+    first 8 md5 hex digits of the k-gram (portable across engines, so the
+    DuckDB oracle replays it exactly).  All JVM-side: posexplode + window
+    min + distinct."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - (k - 1)),
+                lambda i: F.conv(
+                    F.substring(F.md5(F.substring("text", i, k)), 1, 8),
+                    16, 10).cast("long"))
+        ).alias("pos", "h"))
+    win = Window.partitionBy("doc_id").orderBy("pos") \
+                .rowsBetween(0, w - 1)
+    fps = (grams.withColumn("wmin", F.min("h").over(win))
+           .select("doc_id", F.col("wmin").alias("fp"))
+           .distinct())
+    return (fps.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_fps"),
+                 F.min("fp").alias("min_fp"))
+            .orderBy("doc_id"))
+
+
+ORACLE_WINNOW = """
+WITH grams AS (
+  SELECT doc_id, i AS pos,
+         CAST(from_hex(substring(md5(substring(text, i, 8)), 1, 8))::BIT
+              AS BIGINT) AS h
+  FROM documents, UNNEST(range(1, LENGTH(text) - 6)) AS t(i)
+),
+wins AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+  FROM grams
+)
+SELECT doc_id, COUNT(DISTINCT fp) AS n_fps, MIN(fp) AS min_fp
+FROM (SELECT DISTINCT doc_id, fp FROM wins)
+GROUP BY doc_id ORDER BY doc_id
+"""
