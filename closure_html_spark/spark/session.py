@@ -38,8 +38,11 @@ def get_spark(app: str = "closure-html-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # HTML payloads are KB-to-MB scale; keep Arrow batches bounded
+        # HTML payloads are KB-to-MB scale; bound Arrow batches BOTH by row
+        # count and by bytes so one batch of huge documents cannot blow a
+        # Python worker (SURVEY.md §4 physical risk)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.maxResultSize", "2g")
         .config("spark.ui.enabled", "false")
