@@ -97,7 +97,8 @@ def sgml_parse(dtd: Dtd, text: str, tokenizer: Tokenizer | None = None) -> Doc:
 
     stack = [_stag(TOP)]
     ein: list = []
-    inclusion = dtd.inclusion
+    include_map = dtd.include
+    roots = dtd.roots
     empty = dtd.empty
     resolve = dtd.resolve
 
@@ -139,7 +140,11 @@ def sgml_parse(dtd: Dtd, text: str, tokenizer: Tokenizer | None = None) -> Doc:
             del ein[0]
             s = d_parent[s]
             continue
-        if kind == "S" and top is not None and see[1] in inclusion(top[1]):
+        top_inc = None
+        if top is not None:
+            tn = top[1]
+            top_inc = roots if tn == TOP else include_map[tn]
+        if kind == "S" and top is not None and see[1] in top_inc:
             del ein[0]
             nid = len(d_name)
             if see[1] in empty:
@@ -166,7 +171,7 @@ def sgml_parse(dtd: Dtd, text: str, tokenizer: Tokenizer | None = None) -> Doc:
             continue
         if (kind == "S" and see[1] == PCDATA and top is not None
                 and (see[2] == "" or see[2].isspace())
-                and PCDATA not in inclusion(top[1])):
+                and PCDATA not in top_inc):
             del ein[0]  # ignorable whitespace (:1157-1161)
             continue
         if not stack:
