@@ -108,6 +108,18 @@ def _q_tokens_histogram(spark, sf_dir):
             .orderBy("kind"))
 
 
+def _q_host_stats(spark, sf_dir):
+    """Per-host page counts + bytes over the synthesized corpus: the skew
+    fixture surface (host0 holds ~30%% of pages).  Oracle replays the host
+    assignment rule in SQL."""
+    pages = pages_from_documents(spark, sf_dir)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return (pages.groupBy(host.alias("host"))
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.sum(F.length("html")).alias("bytes_total"))
+            .orderBy(F.desc("n_pages"), "host"))
+
+
 def _q_warn_histogram(spark, sf_dir):
     """Corpus warning metrics by parse-warn level (1-5): the reference's
     warning channel as aggregable counters.  Variant templates 1-3 contain
@@ -141,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nodes_histogram": _q_nodes_histogram,
         "tokens_histogram": _q_tokens_histogram,
         "warn_histogram": _q_warn_histogram,
+        "host_stats": _q_host_stats,
         # relational shell (SURVEY.md §2.10)
         "pricing_summary": R.q_pricing_summary,
         "top_revenue_nations": R.q_top_revenue_nations,
@@ -185,6 +198,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY doc_id"),
         "serialize_roundtrip": (
             "SELECT doc_id, 0 AS mismatch FROM documents ORDER BY doc_id"),
+        "host_stats": """
+WITH p AS (
+  SELECT doc_id,
+         'host' || CAST(CASE WHEN doc_id % 10 < 3 THEN 0
+                             ELSE doc_id % 50 END AS VARCHAR)
+           || '.example' AS host,
+         octet_length(encode(
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+           || '</title></head><body>'
+           || '<div id=nav><a href=/>home</a> <a href=/about>about</a></div>'
+           || '<p>' || replace(replace(replace(text, '&', '&amp;'),
+                               '<', '&lt;'), '>', '&gt;') || '</p>'
+           || '<div class=footer><a href=/c>contact</a> &copy; 2026</div>'
+           || '</body></html>')) AS nbytes
+  FROM documents
+)
+SELECT host, COUNT(*) AS n_pages, SUM(nbytes) AS bytes_total
+FROM p GROUP BY host ORDER BY n_pages DESC, host
+""",
         # nodes_histogram: deterministic but tedious in SQL -> rows-only
         "pricing_summary": R.ORACLE_PRICING,
         "top_revenue_nations": R.ORACLE_TOP_REVENUE,
