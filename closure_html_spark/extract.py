@@ -16,10 +16,13 @@ Definitions:
         n_tags        element count inside the block
         link_density  link_len / text_len
         score         text_len * (1 - link_density)^2 * tag_weight
-  - spans: (start, end, score) character offsets into extracted_text, one
-    per block with non-empty text.
-  - main_text: concatenation of span texts with score >= MIN_SCORE and
-    link_density < MAX_LINK_DENSITY -- the boilerplate-stripped content.
+  - spans: (start, end, score, keep) character offsets into extracted_text,
+    one per block with non-empty text; keep marks main-content spans
+    (score >= MIN_SCORE and link_density < MAX_LINK_DENSITY).
+  - main_text: concatenation of kept span texts -- the boilerplate-stripped
+    content.  In the Spark pipeline main_text is reassembled JVM-side from
+    (extracted_text, spans) so the text bytes cross the Arrow boundary once,
+    not twice (SCALE.md frontier #1).
 """
 
 from __future__ import annotations
@@ -76,7 +79,7 @@ def extract_main_content(doc: Doc, dtd: Dtd) -> dict:
         body = find_first(doc, doc.root, "FRAMESET")
     if body < 0:
         return {"title": title_of(doc), "extracted_text": "",
-                "main_text": "", "spans": []}
+                "main_text": "", "spans": []}  # spans: (start,end,score,keep)
 
     # iterative event walk carrying (node, block_id, in_link); text is
     # accumulated into contiguous per-block SEGMENTS in document order, so
@@ -118,19 +121,17 @@ def extract_main_content(doc: Doc, dtd: Dtd) -> dict:
 
     extracted = "".join(parts)
     spans = []
-    main_parts = []
     for _, bname, start, end, tlen, llen, ntags in segs:
         if tlen == 0:
             continue
         ld = llen / tlen
         score = tlen * (1.0 - ld) * (1.0 - ld) * TAG_WEIGHT.get(bname, DEFAULT_WEIGHT)
-        spans.append((start, end, round(score, 4)))
-        if score >= MIN_SCORE and ld < MAX_LINK_DENSITY:
-            main_parts.append(extracted[start:end])
+        keep = score >= MIN_SCORE and ld < MAX_LINK_DENSITY
+        spans.append((start, end, round(score, 4), keep))
 
     return {
         "title": title_of(doc),
         "extracted_text": extracted,
-        "main_text": "".join(main_parts),
+        "main_text": "".join(extracted[a:b] for a, b, _, k in spans if k),
         "spans": spans,
     }

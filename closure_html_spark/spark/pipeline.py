@@ -26,9 +26,16 @@ from ..parser.pda import parse_html, sgml_parse
 from ..serialize import serialize_doc
 
 EXTRACT_RESULT_COLS = (
-    "title string, extracted_text string, main_text string, "
-    "spans array<struct<start:int,end:int,score:double>>, "
+    "title string, extracted_text string, "
+    "spans array<struct<start:int,end:int,score:double,keep:boolean>>, "
     "n_nodes int, n_warns int, warn_levels array<int>, charset string"
+)
+
+# main_text reassembled JVM-side from kept spans: the text bytes cross the
+# Python->Arrow boundary once (extracted_text), not twice
+_MAIN_TEXT_EXPR = (
+    "aggregate(filter(spans, s -> s.keep), '', "
+    "(acc, s) -> acc || substr(extracted_text, s.start + 1, s.end - s.start))"
 )
 
 
@@ -50,7 +57,7 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
         dtd = load_dtd()
         for pdf in batches:
             out = {c: pdf[c] for c in id_cols}
-            titles, texts, mains, spans_col = [], [], [], []
+            titles, texts, spans_col = [], [], []
             n_nodes, n_warns, warn_levels, charsets = [], [], [], []
             for raw in pdf["html"]:
                 try:
@@ -59,10 +66,9 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                     res = extract_main_content(doc, dtd)
                     titles.append(res["title"])
                     texts.append(res["extracted_text"])
-                    mains.append(res["main_text"])
                     spans_col.append([
-                        {"start": s, "end": e, "score": sc}
-                        for s, e, sc in res["spans"]])
+                        {"start": s, "end": e, "score": sc, "keep": k}
+                        for s, e, sc, k in res["spans"]])
                     n_nodes.append(len(doc.name))
                     n_warns.append(len(doc.warnings))
                     # parse-warn levels 1-5 (sgml-parse.lisp:285-292) as
@@ -76,18 +82,18 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                 except Exception as exc:  # never kill the batch for one doc
                     titles.append("")
                     texts.append("")
-                    mains.append("")
                     spans_col.append([])
                     n_nodes.append(0)
                     n_warns.append(-1)
                     warn_levels.append([0, 0, 0, 0, 0])
                     charsets.append(f"error:{type(exc).__name__}")
-            out.update(title=titles, extracted_text=texts, main_text=mains,
+            out.update(title=titles, extracted_text=texts,
                        spans=spans_col, n_nodes=n_nodes, n_warns=n_warns,
                        warn_levels=warn_levels, charset=charsets)
             yield pd.DataFrame(out)
 
-    return df.select(*cols).mapInPandas(fn, schema)
+    return (df.select(*cols).mapInPandas(fn, schema)
+            .withColumn("main_text", F.expr(_MAIN_TEXT_EXPR)))
 
 
 def serialize_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
