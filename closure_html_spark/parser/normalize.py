@@ -90,11 +90,11 @@ def tokenize_normalized(text: str, dtd: Dtd, tk=None):
     accumulated warnings.
     """
     from .tokenizer import (
+        _FAST_ATTR,
         _FAST_END_TAG,
         _FAST_START_TAG,
         _SPECIAL,
         Tokenizer,
-        _fast_atts,
     )
     if tk is None:
         tk = Tokenizer(text, dtd.entities)
@@ -133,14 +133,18 @@ def tokenize_normalized(text: str, dtd: Dtd, tk=None):
                         raw = m.group(2)
                         mungled = []
                         if raw:
+                            # parse + mungle attrs in ONE finditer pass
                             al = attlist.get(name, ())
-                            for a in _fast_atts(raw):
-                                if type(a) is tuple:
-                                    mungled.append((a[0].upper(), a[1]))
+                            for am in _FAST_ATTR.finditer(raw):
+                                aname, avalue = am.group(1), am.group(2)
+                                if avalue is not None:
+                                    if avalue[0] in "\"'":
+                                        avalue = avalue[1:-1]
+                                    mungled.append((aname.upper(), avalue))
                                 else:
-                                    au = a.upper()
+                                    au = aname.upper()
                                     for slot, typ in al:
-                                        if isinstance(typ, list) and au in typ:
+                                        if type(typ) is list and au in typ:
                                             mungled.append((slot, au.lower()))
                                             break
                         append(("S", name, mungled))
