@@ -214,7 +214,8 @@ WITH p AS (
            || '</body></html>')) AS nbytes
   FROM documents
 )
-SELECT host, COUNT(*) AS n_pages, SUM(nbytes) AS bytes_total
+SELECT host, COUNT(*) AS n_pages,
+       CAST(SUM(nbytes) AS BIGINT) AS bytes_total
 FROM p GROUP BY host ORDER BY n_pages DESC, host
 """,
         # nodes_histogram: deterministic but tedious in SQL -> rows-only

@@ -38,7 +38,7 @@ def find_slot_value_pair(dtd: Dtd, tag: str, value: str):
     return None, None
 
 
-def mungle_attlist(dtd: Dtd, tag: str, atts: list) -> list:
+def mungle_attlist(dtd: Dtd, tag: str, atts: list, warn=None) -> list:
     out = []
     for x in atts:
         if isinstance(x, tuple):
@@ -49,6 +49,10 @@ def mungle_attlist(dtd: Dtd, tag: str, atts: list) -> list:
             if slot is not None:
                 # foofoo -> "VALUE" then rod-downcase (unmungle case on)
                 out.append((slot, value.lower()))
+            elif warn is not None:
+                # find-slot-value-pair fall-through (sgml-parse.lisp:908)
+                warn(3, f"The '<{tag}>' tag has no slot which could take "
+                        f"the '{x}' keyword.")
     return out
 
 
@@ -60,9 +64,12 @@ def normalized_tokens(tokenizer, dtd: Dtd):
         if kind == "pcdata":
             yield ("S", PCDATA, tok[1])
         elif kind == "start" or kind == "empty":
+            if kind == "empty":
+                # read-token* :empty-tag (sgml-parse.lisp:941)
+                warn(2, "Oops -- there is an empty tag; but this is only HTML?!")
             name = tok[1]
             if dtd.tag_exists(name):
-                yield ("S", name, mungle_attlist(dtd, name, tok[2]))
+                yield ("S", name, mungle_attlist(dtd, name, tok[2], warn))
             else:
                 warn(4, f"There is no such thing as <{name}> -- ignored.")
         elif kind == "end":
@@ -73,7 +80,11 @@ def normalized_tokens(tokenizer, dtd: Dtd):
                 warn(4, f"There is no such thing as </{name}> -- ignored.")
         elif kind == "comment":
             yield ("C", tok[1])
-        elif kind == "define" or kind == "pi":
+        elif kind == "pi":
+            # read-token* :experimental-tag (sgml-parse.lisp:952)
+            warn(2, f"Ignoreing processing instruction tag: '{tok[1]}'")
+            continue
+        elif kind == "define":
             continue
         elif kind == "eof":
             yield ("E", TOP)
@@ -128,6 +139,10 @@ def tokenize_normalized(text: str, dtd: Dtd, tk=None):
                 m = start_match(s, j)
                 if m is not None:
                     i = m.end()
+                    if m.group(3):
+                        # read-token* :empty-tag (sgml-parse.lisp:941)
+                        warn(2, "Oops -- there is an empty tag; "
+                                "but this is only HTML?!")
                     name = m.group(1).upper()
                     if name in valid:
                         raw = m.group(2)
@@ -147,6 +162,12 @@ def tokenize_normalized(text: str, dtd: Dtd, tk=None):
                                         if type(typ) is list and au in typ:
                                             mungled.append((slot, au.lower()))
                                             break
+                                    else:
+                                        # find-slot-value-pair fall-through
+                                        # (sgml-parse.lisp:908)
+                                        warn(3, f"The '<{name}>' tag has no "
+                                                "slot which could take the "
+                                                f"'{aname}' keyword.")
                         append(("S", name, mungled))
                     else:
                         warn(4, f"There is no such thing as <{name}> -- ignored.")
@@ -161,9 +182,12 @@ def tokenize_normalized(text: str, dtd: Dtd, tk=None):
             elif kind == "comment":
                 append(("C", tok[1]))
             elif kind == "start" or kind == "empty":
+                if kind == "empty":
+                    warn(2, "Oops -- there is an empty tag; "
+                            "but this is only HTML?!")
                 name = tok[1]
                 if dtd.tag_exists(name):
-                    append(("S", name, mungle_attlist(dtd, name, tok[2])))
+                    append(("S", name, mungle_attlist(dtd, name, tok[2], warn)))
                 else:
                     warn(4, f"There is no such thing as <{name}> -- ignored.")
             elif kind == "end":
@@ -172,7 +196,9 @@ def tokenize_normalized(text: str, dtd: Dtd, tk=None):
                     append(("E", name))
                 else:
                     warn(4, f"There is no such thing as </{name}> -- ignored.")
-            # define/pi dropped; eof cannot occur here (i < n)
+            elif kind == "pi":
+                warn(2, f"Ignoreing processing instruction tag: '{tok[1]}'")
+            # define tags dropped; eof cannot occur here (i < n)
         else:
             m = special_search(s, i)
             if m is None:

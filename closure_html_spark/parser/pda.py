@@ -170,7 +170,7 @@ def sgml_parse(dtd: Dtd, text: str, tokenizer: Tokenizer | None = None) -> Doc:
                 s = nid
             continue
         if (kind == "S" and see[1] == PCDATA and top is not None
-                and (see[2] == "" or see[2].isspace())
+                and see[2].strip(" \t\n\r\x0c") == ""
                 and PCDATA not in top_inc):
             del ein[0]  # ignorable whitespace (:1157-1161)
             continue

@@ -120,7 +120,10 @@ class Tokenizer:
                 parts.append("&#")
                 return j + 1
             c2 = s[j + 1]
-            if c2.isdigit():
+            # ASCII digits only: str.isdigit() is true for Unicode digits
+            # (e.g. '²') that _DIGITS would not match, and the reference's
+            # digit-rune-p is ASCII-only.
+            if "0" <= c2 <= "9":
                 m = _DIGITS.match(s, j + 1)
                 num = int(m.group(0))
                 end = m.end()
@@ -381,7 +384,11 @@ class Tokenizer:
 # attributes) so every fast match produces byte-identical tokens to the
 # slow path; non-matches fall through.
 
-_FAST_END_TAG = re.compile(r"/([A-Za-z][A-Za-z0-9.:\-]*)\s*>")
+# _FWS matches exactly the slow machine's whitespace set (WHITESPACE above);
+# `\s` would also match Unicode spaces (NBSP,  ...) and make the fast
+# path accept tags the slow path rejects as ##BAD TAG##.
+_FWS = r"[ \t\n\r\x0c]"
+_FAST_END_TAG = re.compile(r"/([A-Za-z][A-Za-z0-9.:\-]*)" + _FWS + r"*>")
 # attr: sloopy name (minus & ' " =), optional = value (quoted without &,
 # or unquoted sloopy value minus & ' ")
 # NOTE: an attribute NAME may not START with '/' -- the reference's attr
@@ -389,14 +396,14 @@ _FAST_END_TAG = re.compile(r"/([A-Za-z][A-Za-z0-9.:\-]*)\s*>")
 # sgml-parse.lisp:585); '/' mid-name and values starting with '/' are fine.
 _FAST_ATTR_SRC = (
     r"""[A-Za-z0-9.:\-%~#_+?!@();,\[\]][A-Za-z0-9.:\-%/~#_+?!@();,\[\]]*"""
-    r"""(?:\s*=\s*(?:"[^"&]*"|'[^'&]*'|[A-Za-z0-9.:\-%/~#_+?!@();,\[\]][A-Za-z0-9.:\-%/~#_+?!@();,\[\]=]*))?"""
+    r"""(?:""" + _FWS + r"""*=""" + _FWS + r"""*(?:"[^"&]*"|'[^'&]*'|[A-Za-z0-9.:\-%/~#_+?!@();,\[\]][A-Za-z0-9.:\-%/~#_+?!@();,\[\]=]*))?"""
 )
 _FAST_START_TAG = re.compile(
     r"([A-Za-z][A-Za-z0-9.:\-]*)"
-    r"((?:\s+" + _FAST_ATTR_SRC + r")*)\s*(/?)>")
+    r"((?:" + _FWS + r"+" + _FAST_ATTR_SRC + r")*)" + _FWS + r"*(/?)>")
 _FAST_ATTR = re.compile(
-    r"""\s*([A-Za-z0-9.:\-%~#_+?!@();,\[\]][A-Za-z0-9.:\-%/~#_+?!@();,\[\]]*)"""
-    r"""(?:\s*=\s*("[^"&]*"|'[^'&]*'|[A-Za-z0-9.:\-%/~#_+?!@();,\[\]][A-Za-z0-9.:\-%/~#_+?!@();,\[\]=]*))?""")
+    _FWS + r"""*([A-Za-z0-9.:\-%~#_+?!@();,\[\]][A-Za-z0-9.:\-%/~#_+?!@();,\[\]]*)"""
+    r"""(?:""" + _FWS + r"""*=""" + _FWS + r"""*("[^"&]*"|'[^'&]*'|[A-Za-z0-9.:\-%/~#_+?!@();,\[\]][A-Za-z0-9.:\-%/~#_+?!@();,\[\]=]*))?""")
 
 
 def _fast_atts(raw: str) -> list:

@@ -26,6 +26,10 @@ ALPHABETS = [
     "<abc defgh=\"v'& ;\"'>/x ",
     "<a href= = / > \" ' x = 1 & ; !",
     "<>/=&;'\"ap div tble img href src=x &#38; &amp %\n\t![]()",
+    # Non-ASCII stressors: Unicode whitespace (NBSP, VT, LS), Unicode
+    # digits after '&#' ('²', '٣'), and multibyte letters -- the fast
+    # path must reject exactly what the slow machine rejects.
+    "<>/=&;'\"a div href=x \xa0\x0b 　 &#² ٣ 1 é漢\n\t",
 ]
 
 
@@ -49,9 +53,11 @@ def test_fast_tokenizer_token_identical(alphabet_idx):
         slow = list(Tokenizer(fx, DTD.entities).tokens())
         fast = list(FastTokenizer(fx, DTD.entities).tokens())
         assert slow == fast, fx
-        merged, _ = tokenize_normalized(fx, DTD)
-        gen = list(normalized_tokens(FastTokenizer(fx, DTD.entities), DTD))
+        merged, mtk = tokenize_normalized(fx, DTD)
+        gtk = FastTokenizer(fx, DTD.entities)
+        gen = list(normalized_tokens(gtk, DTD))
         assert merged == gen, fx
+        assert mtk.warnings == gtk.warnings, fx
 
 
 def test_full_parse_serialization_identical():
