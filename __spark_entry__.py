@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": R.q_lang_id,
         "simhash": R.q_simhash,
         "embedding_neardup": R.q_embedding_neardup,
+        "embedding_neardup_lsh": R.q_embedding_neardup_lsh,
         # multimodal plumbing
         "media_decode": q_media_decode,
         "media_meta": q_media_meta,
@@ -218,7 +219,49 @@ SELECT host, COUNT(*) AS n_pages,
        CAST(SUM(nbytes) AS BIGINT) AS bytes_total
 FROM p GROUP BY host ORDER BY n_pages DESC, host
 """,
-        # nodes_histogram: deterministic but tedious in SQL -> rows-only
+        # The three histograms are deterministic functions of template 0 /
+        # the variant cycle: per-doc counts measured once against the parser
+        # (closed form), scaled by COUNT(*).  A parser behavior change that
+        # shifts any count breaks these oracles loudly -- that is the point.
+        "tokens_histogram": """
+WITH n AS (SELECT COUNT(*) AS d,
+                  COUNT(*) FILTER (WHERE LENGTH(text) > 0) AS dt
+           FROM documents)
+SELECT * FROM (
+  SELECT 'end' AS kind, 10*d AS n FROM n
+  UNION ALL SELECT 'eof', 1*d FROM n
+  UNION ALL SELECT 'pcdata', 6*d + dt FROM n
+  UNION ALL SELECT 'start', 10*d FROM n
+) ORDER BY kind
+""",
+        "nodes_histogram": """
+WITH n AS (SELECT COUNT(*) AS d,
+                  COUNT(*) FILTER (WHERE LENGTH(text) > 0) AS dt
+           FROM documents)
+SELECT * FROM (
+  SELECT '#PCDATA' AS name, 6*d + dt AS n FROM n
+  UNION ALL SELECT 'A', 3*d FROM n
+  UNION ALL SELECT 'BODY', 1*d FROM n
+  UNION ALL SELECT 'DIV', 2*d FROM n
+  UNION ALL SELECT 'HEAD', 1*d FROM n
+  UNION ALL SELECT 'HTML', 1*d FROM n
+  UNION ALL SELECT 'P', 1*d FROM n
+  UNION ALL SELECT 'TITLE', 1*d FROM n
+) ORDER BY name
+""",
+        # warn_histogram runs tile=4/variants=4: every doc yields one page
+        # per template; per-doc warns are level 3 x1 (template 2's &bogus;)
+        # and level 4 x2 (templates 1 and 3 heuristic repairs)
+        "warn_histogram": """
+WITH n AS (SELECT COUNT(*) AS d FROM documents)
+SELECT * FROM (
+  SELECT 1 AS level, 0*d AS n_warnings FROM n
+  UNION ALL SELECT 2, 0*d FROM n
+  UNION ALL SELECT 3, 1*d FROM n
+  UNION ALL SELECT 4, 2*d FROM n
+  UNION ALL SELECT 5, 0*d FROM n
+) ORDER BY level
+""",
         "pricing_summary": R.ORACLE_PRICING,
         "top_revenue_nations": R.ORACLE_TOP_REVENUE,
         "order_priority": R.ORACLE_ORDER_PRIORITY,
@@ -234,10 +277,12 @@ FROM p GROUP BY host ORDER BY n_pages DESC, host
         "ngram_shingles": R.ORACLE_NGRAM,
         "ann_cosine_topk": R.ORACLE_ANN,
         "lang_id": R.ORACLE_LANG_ID,
+        "simhash": R.ORACLE_SIMHASH,
+        "minhash_bands": R.ORACLE_MINHASH,
         "embedding_neardup": R.ORACLE_EMBEDDING_NEARDUP,
         "media_decode": ORACLE_MEDIA_DECODE,
         "media_meta": ORACLE_MEDIA_META,
-        # minhash_bands, simhash, ann_lsh_topk: engine-specific hashing
-        #   -> rows-only (LSH recall vs brute force asserted in tests)
-        # tokens_histogram, nodes_histogram: tedious in SQL -> rows-only
+        # ann_lsh_topk, embedding_neardup_lsh: candidate sets depend on the
+        # engine-specific xxhash64 hyperplane signs -> rows-only; recall vs
+        # the exact baselines is pinned in tests instead
     }

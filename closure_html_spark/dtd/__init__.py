@@ -29,7 +29,7 @@ class Dtd:
     __slots__ = (
         "include", "exclude", "obegin", "oend", "attlist", "entities",
         "roots", "resolve", "eqv", "empty", "surclusion", "element_names",
-        "valid_tags",
+        "valid_tags", "pda_actions", "tag_cache",
     )
 
     def __init__(self, data: dict):
@@ -55,6 +55,12 @@ class Dtd:
         self.valid_tags = self.element_names - {"NOSCRIPT"}
         # empty-element-p (sgml-parse.lisp:1108-1109): empty include set
         self.empty = frozenset(k for k, v in self.include.items() if not v)
+        # lazily-built fused PDA action tables (pda.py), one (smap, emap)
+        # pair per context element; persists for the worker's lifetime
+        self.pda_actions = {}
+        # raw tag text -> (normalized token | None, warns tuple) memo used
+        # by normalize.tokenize_normalized; size-bounded there
+        self.tag_cache = {}
 
     def inclusion(self, x: str) -> frozenset:
         if x == TOP:

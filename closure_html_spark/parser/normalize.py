@@ -56,6 +56,51 @@ def mungle_attlist(dtd: Dtd, tag: str, atts: list, warn=None) -> list:
     return out
 
 
+def build_end_hit(dtd: Dtd, m) -> tuple:
+    """Memo entry (token | None, warns tuple) for a fast end-tag match."""
+    name = m.group(1).upper()
+    if name in dtd.valid_tags:
+        return (("E", name), ())
+    return (None, ((4, f"There is no such thing as </{name}> -- ignored."),))
+
+
+def build_start_hit(dtd: Dtd, m) -> tuple:
+    """Memo entry (token | None, warns tuple) for a fast start-tag match:
+    read-token* start/empty handling + single-pass attr parse/mungle."""
+    from .tokenizer import _FAST_ATTR
+    wlist = []
+    if m.group(3):
+        # read-token* :empty-tag (sgml-parse.lisp:941)
+        wlist.append((2, "Oops -- there is an empty tag; "
+                         "but this is only HTML?!"))
+    name = m.group(1).upper()
+    if name not in dtd.valid_tags:
+        wlist.append((4, f"There is no such thing as <{name}> -- ignored."))
+        return (None, tuple(wlist))
+    raw = m.group(2)
+    mungled = []
+    if raw:
+        # parse + mungle attrs in ONE finditer pass
+        al = dtd.attlist.get(name, ())
+        for am in _FAST_ATTR.finditer(raw):
+            aname, avalue = am.group(1), am.group(2)
+            if avalue is not None:
+                if avalue[0] in "\"'":
+                    avalue = avalue[1:-1]
+                mungled.append((aname.upper(), avalue))
+            else:
+                au = aname.upper()
+                for slot, typ in al:
+                    if type(typ) is list and au in typ:
+                        mungled.append((slot, au.lower()))
+                        break
+                else:
+                    # find-slot-value-pair fall-through (sgml-parse.lisp:908)
+                    wlist.append((3, f"The '<{name}>' tag has no slot which "
+                                     f"could take the '{aname}' keyword."))
+    return (("S", name, mungled), tuple(wlist))
+
+
 def normalized_tokens(tokenizer, dtd: Dtd):
     """Generator over normalized tokens, ending with ("E", "%top")."""
     warn = tokenizer.warn
@@ -116,9 +161,16 @@ def tokenize_normalized(text: str, dtd: Dtd, tk=None):
     valid = dtd.valid_tags
     attlist = dtd.attlist
     warn = tk.warn
+    warns_extend = tk.warnings.extend
     end_match = _FAST_END_TAG.match
     start_match = _FAST_START_TAG.match
     special_search = _SPECIAL.search
+    # Whole-tag memo: raw matched tag text -> (token | None, warns tuple).
+    # Tag vocab repeats heavily across a corpus, so most tags become one
+    # dict hit; size-bounded so unique-attr floods (hrefs) can't grow it
+    # without bound.  Tokens/attr lists are shared and never mutated.
+    cache = dtd.tag_cache
+    cache_get = cache.get
     i = 0
     while i < n:
         c = s[i]
@@ -129,48 +181,33 @@ def tokenize_normalized(text: str, dtd: Dtd, tk=None):
                 m = end_match(s, j)
                 if m is not None:
                     i = m.end()
-                    name = m.group(1).upper()
-                    if name in valid:
-                        append(("E", name))
-                    else:
-                        warn(4, f"There is no such thing as </{name}> -- ignored.")
+                    hit = cache_get(m.group(0))
+                    if hit is None:
+                        hit = build_end_hit(dtd, m)
+                        if len(cache) < 65536:
+                            cache[m.group(0)] = hit
+                    tok, ws = hit
+                    if tok is not None:
+                        append(tok)
+                    if ws:
+                        warns_extend(ws)
                     continue
-            elif cj.isalpha() and cj.isascii():
+            else:
+                # no isalpha/isascii pre-check: the regex's leading [A-Za-z]
+                # class rejects exactly the same first chars in C
                 m = start_match(s, j)
                 if m is not None:
                     i = m.end()
-                    if m.group(3):
-                        # read-token* :empty-tag (sgml-parse.lisp:941)
-                        warn(2, "Oops -- there is an empty tag; "
-                                "but this is only HTML?!")
-                    name = m.group(1).upper()
-                    if name in valid:
-                        raw = m.group(2)
-                        mungled = []
-                        if raw:
-                            # parse + mungle attrs in ONE finditer pass
-                            al = attlist.get(name, ())
-                            for am in _FAST_ATTR.finditer(raw):
-                                aname, avalue = am.group(1), am.group(2)
-                                if avalue is not None:
-                                    if avalue[0] in "\"'":
-                                        avalue = avalue[1:-1]
-                                    mungled.append((aname.upper(), avalue))
-                                else:
-                                    au = aname.upper()
-                                    for slot, typ in al:
-                                        if type(typ) is list and au in typ:
-                                            mungled.append((slot, au.lower()))
-                                            break
-                                    else:
-                                        # find-slot-value-pair fall-through
-                                        # (sgml-parse.lisp:908)
-                                        warn(3, f"The '<{name}>' tag has no "
-                                                "slot which could take the "
-                                                f"'{aname}' keyword.")
-                        append(("S", name, mungled))
-                    else:
-                        warn(4, f"There is no such thing as <{name}> -- ignored.")
+                    hit = cache_get(m.group(0))
+                    if hit is None:
+                        hit = build_start_hit(dtd, m)
+                        if len(cache) < 65536:
+                            cache[m.group(0)] = hit
+                    tok, ws = hit
+                    if tok is not None:
+                        append(tok)
+                    if ws:
+                        warns_extend(ws)
                     continue
             # slow fallback for this one token
             tk.i = i

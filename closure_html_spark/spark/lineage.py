@@ -116,16 +116,23 @@ def run_extraction_with_lineage(spark: SparkSession, pages: DataFrame,
         t0 = time.time()
         part = pages_b.filter(F.col("bucket").isin(group))
         ext = extract_pages(part, id_cols=("url", "bucket"))
-        ext = ext.cache()
-        stats = (ext.groupBy("bucket")
+        # Write FIRST (the parse executes exactly once), then derive the
+        # manifest stats from the landed parquet: counting rows + summing
+        # the small n_warns column off the written files is far cheaper
+        # than cache()+collect()ing the full extraction output before the
+        # write (which materializes every bucket's text twice).
+        (ext.write.partitionBy("bucket").mode("append")
+            .parquet(f"{output_dir}/extracted"))
+        stats = (spark.read.parquet(f"{output_dir}/extracted")
+                 .filter(F.col("bucket").isin(group))
+                 .groupBy("bucket")
                  .agg(F.count(F.lit(1)).alias("output_count"),
                       F.sum("n_warns").alias("warn_count"))
                  .collect())
+        # input counts scan only the pruned url column, never the html
         inputs = {r["bucket"]: r["c"] for r in
                   part.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
                   .collect()}
-        (ext.write.partitionBy("bucket").mode("append")
-            .parquet(f"{output_dir}/extracted"))
         wall = time.time() - t0
         man_rows = [(int(r["bucket"]), int(inputs.get(r["bucket"], 0)),
                      int(r["output_count"]), int(r["warn_count"] or 0),
@@ -138,6 +145,5 @@ def run_extraction_with_lineage(spark: SparkSession, pages: DataFrame,
                 man_rows.append((b, 0, 0, 0, 0.0, "ok", run_id))
         spark.createDataFrame(man_rows, LINEAGE_SCHEMA) \
              .write.mode("append").parquet(f"{output_dir}/_lineage")
-        ext.unpersist()
         result["processed"].extend(group)
     return result

@@ -49,9 +49,14 @@ def _extract_schema(df: DataFrame, id_cols: tuple[str, ...]) -> str:
 
 def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                   default_charset: str = "utf-8") -> DataFrame:
-    """Parse + extract every page.  Keeps `id_cols` as passthrough keys."""
+    """Parse + extract every page.  Keeps `id_cols` as passthrough keys.
+
+    If the input has a `content_type` column (WARC-style HTTP header), its
+    charset parameter seeds the decoder; a <meta> charset still overrides
+    it, mirroring the reference's mid-stream decoder switch (charset.py)."""
     schema = _extract_schema(df, id_cols)
-    cols = list(id_cols) + ["html"]
+    has_ct = "content_type" in df.columns
+    cols = list(id_cols) + ["html"] + (["content_type"] if has_ct else [])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dtd = load_dtd()
@@ -59,9 +64,12 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
             out = {c: pdf[c] for c in id_cols}
             titles, texts, spans_col = [], [], []
             n_nodes, n_warns, warn_levels, charsets = [], [], [], []
-            for raw in pdf["html"]:
+            cts = pdf["content_type"] if has_ct else None
+            for idx, raw in enumerate(pdf["html"]):
                 try:
-                    text, cs = decode_html(bytes(raw), default_charset)
+                    text, cs = decode_html(
+                        bytes(raw), default_charset,
+                        cts.iloc[idx] if cts is not None else None)
                     doc = parse_html(dtd, text)
                     res = extract_main_content(doc, dtd)
                     titles.append(res["title"])

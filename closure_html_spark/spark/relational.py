@@ -388,36 +388,105 @@ FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk
 """
 
 
-def q_minhash_bands(spark, sf_dir, n_hashes: int = 16, n_bands: int = 4):
+def q_minhash_bands(spark, sf_dir, n_hashes: int = 16, n_bands: int = 4,
+                    portable_hash: bool = True):
     """MinHash+LSH candidate generation, fully JVM-side:
-    shingle -> xxhash64 with per-hash salt -> min per hash -> band signature
-    -> groupBy band bucket.  Returns candidate pair counts per band bucket.
-    No SQL oracle (hash internals differ across engines): rows-only check."""
+    shingle -> salted hash -> min per hash -> band signature -> groupBy
+    band bucket.  Returns candidate pair counts per band bucket.
+
+    portable_hash=True (default) derives the 16 salted hashes from md5
+    (first 8 hex digits of md5(shingle || '|' || salt)) and the band bucket
+    from md5 of the joined minima, so the DuckDB oracle replays the whole
+    operator.  portable_hash=False swaps in xxhash64 -- cheaper per shingle,
+    the knob to flip at 100 TB if hashing ever dominates the profile."""
     docs = _t(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
     docs = docs.filter(F.size(words) >= 3)
     # exploded shingles -> 16 salted hashes per row -> map-side partial MIN:
     # stays in whole-stage codegen end to end (HOF lambdas would not)
+    if portable_hash:
+        def _h(h):
+            return F.conv(
+                F.substring(F.md5(F.concat_ws("|", "tri", F.lit(str(h)))),
+                            1, 8), 16, 10).cast("long").alias(f"x{h}")
+    else:
+        def _h(h):
+            return F.xxhash64("tri", F.lit(h)).alias(f"x{h}")
     tri = _shingles(docs).select(
-        "doc_id", *[F.xxhash64("tri", F.lit(h)).alias(f"x{h}")
-                    for h in range(n_hashes)])
+        "doc_id", *[_h(h) for h in range(n_hashes)])
     sigs = tri.groupBy("doc_id").agg(
         *[F.min(f"x{h}").alias(f"h{h}") for h in range(n_hashes)])
     per_band = n_hashes // n_bands
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{h}") for h in range(b * per_band, (b + 1) * per_band)]
-        bands.append(sigs.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.xxhash64(*cols).alias("bucket")))
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionAll(b)
+    # single pass over sigs: posexplode an array of (band, bucket) structs.
+    # (A unionAll of per-band selects re-executes the whole shingle+agg
+    # subplan once per band -- Catalyst does not dedupe common subplans
+    # across union branches.)
+    if portable_hash:
+        def _bucket(b):
+            return F.md5(F.concat_ws(",", *[
+                F.col(f"h{h}")
+                for h in range(b * per_band, (b + 1) * per_band)]))
+    else:
+        def _bucket(b):
+            return F.xxhash64(*[
+                F.col(f"h{h}")
+                for h in range(b * per_band, (b + 1) * per_band)]
+            ).cast("string")
+    band_structs = F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band"),
+                 _bucket(b).alias("bucket"))
+        for b in range(n_bands)])
+    allb = (sigs
+            .select("doc_id", F.explode(band_structs).alias("bb"))
+            .select("doc_id", F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket")))
     return (allb.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("doc_id").alias("min_doc"))
             .filter(F.col("n_docs") > 1)
             .orderBy("band", "bucket"))
+
+
+def _minhash_oracle_sql(n_hashes: int = 16, n_bands: int = 4) -> str:
+    """DuckDB replay of q_minhash_bands(portable_hash=True)."""
+    per_band = n_hashes // n_bands
+    mins = ",\n   ".join(
+        f"MIN(CAST(from_hex(substring(md5(tri || '|{h}'), 1, 8))::BIT "
+        f"AS BIGINT)) AS h{h}"
+        for h in range(n_hashes))
+    bands = "\n  UNION ALL ".join(
+        "SELECT doc_id, CAST({b} AS INT) AS band, md5({cat}) AS bucket "
+        "FROM hx".format(
+            b=b,
+            cat=" || ',' || ".join(
+                f"h{h}::VARCHAR"
+                for h in range(b * per_band, (b + 1) * per_band)))
+        for b in range(n_bands))
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ws
+  FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         UNNEST([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 FOR i IN range(1, LEN(ws) - 1)]) AS tri
+  FROM w WHERE LEN(ws) >= 3
+),
+hx AS (
+  SELECT doc_id, {mins}
+  FROM tri GROUP BY doc_id
+),
+bands AS (
+  {bands}
+)
+SELECT band, bucket, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+FROM bands GROUP BY band, bucket HAVING COUNT(*) > 1
+ORDER BY band, bucket
+"""
+
+
+ORACLE_MINHASH = _minhash_oracle_sql()
 
 
 _LANG_STOPS = {
@@ -475,17 +544,26 @@ FROM c ORDER BY doc_id
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash per document, fully JVM-side: per-word xxhash64,
-    explode, per-bit majority vote, reassemble.  Near-dup docs differ in
-    few bits.  No SQL oracle (xxhash64 is engine-specific): rows-only."""
+    """64-bit SimHash per document, fully JVM-side: per-word hash, explode,
+    per-bit majority vote, reassemble.  Near-dup docs differ in few bits.
+
+    The 64 hash bits come from the first 16 hex digits of md5(word) (two
+    32-bit halves, so the unsigned values fit BIGINT in both engines) --
+    portable, so the DuckDB oracle replays the whole operator bit for bit.
+    xxhash64 would be ~2x cheaper per word at scale but is engine-specific;
+    for SimHash the hash cost is dwarfed by the explode + 64 aggregates."""
     docs = _t(spark, sf_dir, "documents")
     words = F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
-    exploded = docs.select("doc_id", words).withColumn(
-        "h", F.xxhash64("w"))
-    votes = [
-        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                     1).otherwise(-1)).alias(f"b{b}")
-        for b in range(64)]
+    md5 = F.md5(F.col("w"))
+    exploded = docs.select("doc_id", words).select(
+        "doc_id",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h_lo"))
+    votes = []
+    for b in range(64):
+        src = F.col("h_lo") if b < 32 else F.col("h_hi")
+        bit = F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{b}"))
     agg = exploded.groupBy("doc_id").agg(*votes)
     sim = F.lit(0).cast("long")
     for b in range(64):
@@ -494,6 +572,35 @@ def q_simhash(spark, sf_dir):
                                                     else -(2 ** 63))
                            ).otherwise(F.lit(0))
     return agg.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replay of q_simhash, generated from the same bit layout."""
+    terms = []
+    for b in range(64):
+        src = "h_lo" if b < 32 else "h_hi"
+        terms.append(
+            f"SUM(CASE WHEN ({src} >> {b % 32}) & 1 = 1 THEN 1 ELSE -1 END)"
+            f" AS b{b}")
+    assemble = " + ".join(
+        (f"CASE WHEN b{b} > 0 THEN CAST({2 ** b if b < 63 else -(2 ** 63)}"
+         f" AS BIGINT) ELSE 0 END")
+        for b in range(64))
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(from_hex(substring(md5(w), 1, 8))::BIT AS BIGINT) AS h_hi,
+         CAST(from_hex(substring(md5(w), 9, 8))::BIT AS BIGINT) AS h_lo
+  FROM (SELECT doc_id,
+               UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents)
+),
+v AS (SELECT doc_id, {', '.join(terms)} FROM w GROUP BY doc_id)
+SELECT doc_id, {assemble} AS simhash FROM v ORDER BY doc_id
+"""
+
+
+ORACLE_SIMHASH = _simhash_oracle_sql()
 
 
 def q_embedding_neardup(spark, sf_dir, threshold: float = 0.4):
@@ -533,6 +640,48 @@ WHERE a.vec_id < b.vec_id
         6) >= 0.4
 ORDER BY a_id, b_id
 """
+
+
+def q_embedding_neardup_lsh(spark, sf_dir, threshold: float = 0.4,
+                            band_bits: int = 4, n_bands: int = 8):
+    """Scale path for embedding near-dup: random-hyperplane LSH bucket
+    self-join + exact cosine rerank, instead of the O(N^2) crossJoin.
+
+    A pair is a candidate iff ANY of the n_bands band values matches --
+    a bucket equi-join whose size is sum over buckets of |bucket|^2, not
+    N^2.  q_embedding_neardup (the crossJoin) stays as the exact oracle;
+    test_embedding_neardup_lsh_recall pins recall against it."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n_bits = band_bits * n_bands
+    sig = _rhp_signature(F.col("embedding"), n_bits=n_bits)
+    mask = (1 << band_bits) - 1
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("sig"), b * band_bits)
+                  .bitwiseAND(F.lit(mask)).alias("val"))
+        for b in range(n_bands)])
+    banded = (emb.select("vec_id", "embedding", sig.alias("sig"))
+              .select("vec_id", "embedding", F.explode(bands).alias("bk")))
+    a = banded.select(F.col("vec_id").alias("a_id"),
+                      F.col("embedding").alias("a_emb"),
+                      F.col("bk").alias("a_bk"))
+    b = banded.select(F.col("vec_id").alias("b_id"),
+                      F.col("embedding").alias("b_emb"),
+                      F.col("bk").alias("b_bk"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a_emb"), F.col("b_emb"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    sim = F.round(dot / (norm(F.col("a_emb")) * norm(F.col("b_emb"))), 6)
+    return (a.join(b, a.a_bk == b.b_bk)              # bucket equi-join
+            .filter(F.col("a_id") < F.col("b_id"))
+            .dropDuplicates(["a_id", "b_id"])        # ANY-band semantics
+            .select("a_id", "b_id", sim.alias("sim"))
+            .filter(F.col("sim") >= threshold)
+            .orderBy("a_id", "b_id"))
 
 
 def _rhp_signature(emb_col, n_bits: int = 12, dim: int = 64):
@@ -612,15 +761,18 @@ def q_winnow_fingerprint(spark, sf_dir, k: int = 8, w: int = 16):
     DuckDB oracle replays it exactly).  All JVM-side: posexplode + window
     min + distinct."""
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - (k - 1)),
-                lambda i: F.conv(
-                    F.substring(F.md5(F.substring("text", i, k)), 1, 8),
-                    16, 10).cast("long"))
-        ).alias("pos", "h"))
+    # explode positions first, then hash as a plain column expression:
+    # stays in whole-stage codegen end to end (a transform(sequence(...))
+    # lambda array would be interpreted, not codegen'd -- see _shingles)
+    grams = (docs
+             .select("doc_id", "text",
+                     F.explode(F.sequence(F.lit(1),
+                                          F.length("text") - (k - 1)))
+                      .alias("pos"))
+             .select("doc_id", "pos",
+                     F.conv(F.substring(
+                         F.md5(F.expr(f"substring(text, pos, {k})")), 1, 8),
+                         16, 10).cast("long").alias("h")))
     win = Window.partitionBy("doc_id").orderBy("pos") \
                 .rowsBetween(0, w - 1)
     fps = (grams.withColumn("wmin", F.min("h").over(win))

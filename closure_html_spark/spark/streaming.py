@@ -59,43 +59,68 @@ def stream_host_rates(pages: DataFrame, window: str = "1 minute",
                  F.sum(F.length("html")).alias("bytes_in")))
 
 
-def stream_dedup_urls(pages: DataFrame, n_groups: int = 64) -> DataFrame:
+def stream_dedup_urls(pages: DataFrame, n_groups: int = 64,
+                      m_bits: int = 1 << 23) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): emit
     each url the FIRST time it is ever seen across the life of the stream.
 
     CC re-crawls the same urls continuously; first-seen dedup upstream of
     the parse stage is the single biggest compute saver in a continuous
-    ingest.  State = per-group array of 64-bit url digests, partitioned by
-    a url-hash group key so state shards evenly across executors.
+    ingest.
+
+    State = one CONSTANT-SIZE Bloom filter per url-hash group (m_bits bits,
+    k=4 hashes carved from the url's md5), so state is m_bits/8 bytes per
+    group forever -- an exact-set state would grow 8 bytes per unique url
+    (8 TB at 10^12 urls).  The trade is a bounded false-drop rate:
+    (1-exp(-4n/m))^4 per new url after n uniques in a group (~0.2% at
+    n = m/16; size m_bits to the expected uniques).  Membership tests and
+    bit updates are numpy-vectorized over the whole Arrow batch -- no
+    per-row Python.
     """
     import hashlib
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    def digest(u: str) -> int:
-        h = hashlib.md5(u.encode("utf-8")).digest()
-        return int.from_bytes(h[:8], "big", signed=True)
+    n_bytes = m_bits // 8
 
     def fn(key, pdfs, state):
-        seen = set(state.get[0]) if state.exists else set()
-        out = []
+        if state.exists:
+            bloom = np.frombuffer(state.get[0], dtype=np.uint8).copy()
+        else:
+            bloom = np.zeros(n_bytes, dtype=np.uint8)
+        changed = False
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                d = digest(row["url"])
-                if d not in seen:
-                    seen.add(d)
-                    out.append((row["url"], row["warc_ts"], row["html"]))
-        state.update((list(seen),))
-        if out:
-            yield pd.DataFrame(out, columns=["url", "warc_ts", "html"])
+            if pdf.empty:
+                continue
+            # 4 x 32-bit hash indices per url from one md5 (vectorized
+            # reinterpret of the concatenated digests)
+            dig_list = [hashlib.md5(u.encode("utf-8")).digest()
+                        for u in pdf["url"]]
+            idx = (np.frombuffer(b"".join(dig_list), dtype=">u4")
+                   .reshape(-1, 4) % np.uint32(m_bits))
+            byte_i = idx >> 3
+            bit_m = np.uint8(1) << (idx & 7).astype(np.uint8)
+            seen = ((bloom[byte_i] & bit_m) == bit_m).all(axis=1)
+            # also drop repeats within this batch (first occurrence wins)
+            first_in_batch = ~pd.Series(dig_list).duplicated().to_numpy()
+            emit = (~seen) & first_in_batch
+            if emit.any():
+                ei = byte_i[emit].ravel()
+                em = bit_m[emit].ravel()
+                np.bitwise_or.at(bloom, ei, em)
+                changed = True
+                yield pdf.loc[emit, ["url", "warc_ts", "html"]]
+        if changed:
+            state.update((bloom.tobytes(),))
 
     keyed = pages.withColumn(
         "grp", F.pmod(F.xxhash64("url"), F.lit(n_groups)).cast("int"))
     return keyed.groupBy("grp").applyInPandasWithState(
         fn,
         outputStructType="url string, warc_ts timestamp, html binary",
-        stateStructType="seen array<long>",
+        stateStructType="bloom binary",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

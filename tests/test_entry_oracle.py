@@ -76,6 +76,21 @@ def test_entry_smoke(spark):
     assert rows[0]["extracted_text"]
 
 
+def test_embedding_neardup_lsh_recall(spark):
+    """The LSH near-dup scale path must recover most of the exact crossJoin
+    pairs (recall depends on threshold: banded RHP keeps ~75%+ of pairs at
+    cosine 0.4 and -> 1.0 as similarity rises)."""
+    from closure_html_spark.spark import relational as R
+    exact = {(r["a_id"], r["b_id"])
+             for r in R.q_embedding_neardup(spark, SF_DIR).collect()}
+    lsh = {(r["a_id"], r["b_id"])
+           for r in R.q_embedding_neardup_lsh(spark, SF_DIR).collect()}
+    assert lsh <= exact, "LSH produced a pair the exact path rejects"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.5, f"near-dup LSH recall collapsed: {recall}"
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     """The LSH scale path must recover a substantial share of the exact
     top-k even on uniformly random vectors (where LSH is hardest); on real

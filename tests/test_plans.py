@@ -72,3 +72,33 @@ def test_no_python_udf_in_relational_queries(spark):
         plan = plan_of(fn(spark, SF))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
             f"{name} fell off the JVM: Python UDF in plan"
+
+
+def test_minhash_single_subplan(spark):
+    """The band explode must run over ONE shingle/agg subtree; a unionAll
+    of per-band selects re-executes the whole signature subplan per band
+    (Catalyst does not dedupe common subplans across union branches)."""
+    plan = plan_of(R.q_minhash_bands(spark, SF))
+    assert "Union" not in plan, "bands still unioned -> 4x recompute"
+    # exactly one scan of documents feeding one shingle window/agg chain
+    # (the formatted plan names each scan once in the tree and once in the
+    # details, so count the one-per-scan Location line instead)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan[:500]
+
+
+def test_embedding_neardup_lsh_no_cartesian(spark):
+    """The near-dup scale path must be a bucket equi-join, never a
+    cartesian/broadcast-nested-loop over the full vector table."""
+    plan = plan_of(R.q_embedding_neardup_lsh(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_winnow_stays_in_codegen(spark):
+    """The k-gram hash must be a codegen'd column expression (explode of a
+    sequence), not an interpreted higher-order-function lambda."""
+    plan = plan_of(R.q_winnow_fingerprint(spark, SF))
+    assert "transform(" not in plan, "HOF lambda back in the gram path"
+    assert "Generate explode" in plan or "Generate" in plan

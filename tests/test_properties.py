@@ -67,6 +67,9 @@ def test_check_saneness(src):
             assert cname in DTD.inclusion(pname) or cname == PCDATA and \
                 PCDATA in DTD.inclusion(pname), \
                 f"unallowed {cname} within {pname} for {src!r}"
+    # the runnable pass (pda.check_saneness) must agree: no complaints
+    from closure_html_spark.parser.pda import check_saneness
+    assert check_saneness(doc, DTD) == [], src
 
 
 @settings(max_examples=200, deadline=None)
