@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_datetime": R.q_string_datetime,
         # training-data ops
         "dedup_exact": R.q_dedup_exact,
+        "paragraph_dedup": R.q_paragraph_dedup,
+        "url_canonical": R.q_url_canonical,
         "token_stats": R.q_token_stats,
         "quality_score": R.q_quality_score,
         "fingerprint": R.q_fingerprint,
@@ -270,6 +272,8 @@ SELECT * FROM (
         "set_ops": R.ORACLE_SET_OPS,
         "string_datetime": R.ORACLE_STRING_DATETIME,
         "dedup_exact": R.ORACLE_DEDUP_EXACT,
+        "paragraph_dedup": R.ORACLE_PARAGRAPH_DEDUP,
+        "url_canonical": R.ORACLE_URL_CANONICAL,
         "token_stats": R.ORACLE_TOKEN_STATS,
         "quality_score": R.ORACLE_QUALITY,
         "fingerprint": R.ORACLE_FINGERPRINT,

@@ -447,6 +447,118 @@ def q_minhash_bands(spark, sf_dir, n_hashes: int = 16, n_bands: int = 4,
             .orderBy("band", "bucket"))
 
 
+def q_paragraph_dedup(spark, sf_dir, chunk_words: int = 3):
+    """Sub-document exact dedup (C4-style): split each document into
+    non-overlapping `chunk_words`-word chunks, hash, report chunks that
+    appear in more than one document.  The per-doc transform/slice lambda
+    runs once per DOCUMENT over its word array (not per word), so the
+    interpreted-HOF cost is amortized; the explode and the aggregation
+    stay in codegen with map-side partial agg."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    k = chunk_words
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.floor(F.size(words) / k).cast("long")),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, (i - 1) * k + 1, k)))
+    c = docs.select("doc_id", F.explode(chunks).alias("chunk"))
+    return (c.groupBy(F.md5("chunk").alias("h"))
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"),
+                 F.min("doc_id").alias("first_doc"))
+            .filter(F.col("n_docs") > 1)
+            .orderBy("h"))
+
+
+ORACLE_PARAGRAPH_DEDUP = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ws
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         UNNEST([array_to_string(ws[(i-1)*3+1 : i*3], ' ')
+                 FOR i IN range(1, CAST(FLOOR(LEN(ws)/3) AS BIGINT) + 1)]) AS chunk
+  FROM w
+)
+SELECT md5(chunk) AS h, COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
+FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1 ORDER BY h
+"""
+
+
+def _canonical_url(u):
+    """URL canonicalization as a pure column expression: drop the fragment,
+    lowercase the host and strip a leading www., drop utm_* query params,
+    strip trailing path slashes."""
+    u1 = F.split(u, "#").getItem(0)
+    scheme = F.regexp_extract(u1, r"^(https?)://", 1)
+    host = F.lower(F.regexp_extract(u1, r"^https?://([^/?]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rest = F.regexp_replace(u1, r"^https?://[^/?]*", "")
+    path = F.regexp_replace(F.split(rest, r"\?").getItem(0), "/+$", "")
+    query = F.when(rest.contains("?"),
+                   F.split(rest, r"\?").getItem(1)).otherwise(F.lit(""))
+    params = F.filter(F.split(query, "&"),
+                      lambda p: (~p.startswith("utm_")) & (p != ""))
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("?"), F.array_join(params, "&")))
+         .otherwise(F.lit("")))
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization + dedup: every doc gets two messy variants
+    (WWW./fragment/utm-params vs plain) that must collapse to ONE canonical
+    url -- the crawl-frontier dedup primitive."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 50).cast("string")
+    v1 = F.concat(F.lit("https://WWW.Host"), h, F.lit(".Example/Path/"), i,
+                  F.lit("/?utm_source=feed&q="), i, F.lit("#frag"))
+    v2 = F.concat(F.lit("https://www.host"), h, F.lit(".example/Path/"), i,
+                  F.lit("?q="), i)
+    urls = docs.select("doc_id", F.explode(F.array(v1, v2)).alias("url"))
+    return (urls.select("doc_id", _canonical_url(F.col("url")).alias("curl"))
+            .groupBy("curl")
+            .agg(F.count(F.lit(1)).alias("n_variants"),
+                 F.min("doc_id").alias("doc_id"))
+            .orderBy("curl"))
+
+
+ORACLE_URL_CANONICAL = """
+WITH u AS (
+  SELECT doc_id,
+         UNNEST(['https://WWW.Host' || (doc_id % 50) || '.Example/Path/'
+                   || doc_id || '/?utm_source=feed&q=' || doc_id || '#frag',
+                 'https://www.host' || (doc_id % 50) || '.example/Path/'
+                   || doc_id || '?q=' || doc_id]) AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    regexp_extract(u1, '^(https?)://', 1) || '://' ||
+    regexp_replace(lower(regexp_extract(u1, '^https?://([^/?]+)', 1)),
+                   '^www\\.', '') ||
+    regexp_replace(string_split(regexp_replace(u1, '^https?://[^/?]*', ''),
+                                '?')[1], '/+$', '') ||
+    CASE WHEN LEN(params) > 0
+         THEN '?' || array_to_string(params, '&') ELSE '' END AS curl
+  FROM (
+    SELECT doc_id, u1,
+           list_filter(string_split(CASE WHEN contains(u1, '?')
+                                         THEN string_split(u1, '?')[2]
+                                         ELSE '' END, '&'),
+                       p -> NOT starts_with(p, 'utm_') AND p <> '') AS params
+    FROM (SELECT doc_id, string_split(url, '#')[1] AS u1 FROM u)
+  )
+)
+SELECT curl, COUNT(*) AS n_variants, MIN(doc_id) AS doc_id
+FROM c GROUP BY curl ORDER BY curl
+"""
+
+
 def _minhash_oracle_sql(n_hashes: int = 16, n_bands: int = 4) -> str:
     """DuckDB replay of q_minhash_bands(portable_hash=True)."""
     per_band = n_hashes // n_bands
