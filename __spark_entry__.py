@@ -195,6 +195,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_title": (
             f"SELECT doc_id, {ORACLE_TITLE} AS title "
             "FROM documents ORDER BY doc_id"),
+        # n_spans = 3 is pinned to template 0 (nav/content/footer), the ONLY
+        # template _q_extract_spans synthesizes (pages_from_documents
+        # defaults); revisit if that query ever runs variant templates
         "extract_spans": (
             "SELECT doc_id, 3 AS n_spans, "
             "CAST(LENGTH(text) AS INT) AS main_len "
