@@ -82,6 +82,32 @@ class Dtd:
 # HTML-3.0 is absent because the reference itself cannot load it: the file
 # pulls an uncataloged IETF PUBLIC entity set and uses SDATA entities the
 # reference's DTD grammar (sgml-dtd.lisp:177-252) does not accept.
+def shortest_path_to(dtd: Dtd, pathen: list[list[str]], goal: str,
+                     max_depth: int = 10) -> list[str] | None:
+    """Breadth-first containment-chain search (shortest-path-to,
+    sgml-parse.lisp:1699-1712): paths grow by prepending each element of
+    the head's surclusion (the elements that may contain it) until a path
+    head equals `goal`.  Dev tooling in the reference (used by its
+    Netscape-comparison scripts); exposed here for DTD exploration."""
+    if max_depth <= 0:
+        return None
+    for p in pathen:
+        if p[0] == goal:
+            return p
+    nxt = [[s] + p
+           for p in pathen
+           for s in sorted(dtd.surclusion.get(p[0], ()))]
+    if not nxt:
+        return None
+    return shortest_path_to(dtd, nxt, goal, max_depth - 1)
+
+
+def shortest_path(dtd: Dtd, start: str, goal: str) -> list[str] | None:
+    """Containment chain [goal, ..., start] (each element may directly
+    contain the next), or None if no chain exists within depth 10."""
+    return shortest_path_to(dtd, [[start]], goal)
+
+
 DTD_CATALOG = {
     "html-4.0-frameset": "dtd.json",          # chtml:parse default
     "html-4.0-strict": "dtd_html40_strict.json",
