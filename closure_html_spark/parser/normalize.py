@@ -22,6 +22,8 @@ Notes on observed reference behavior (replicated deliberately):
 
 from __future__ import annotations
 
+import re
+
 from ..dtd import Dtd
 
 PCDATA = "#PCDATA"
@@ -36,6 +38,44 @@ def find_slot_value_pair(dtd: Dtd, tag: str, value: str):
         if isinstance(typ, list) and vu in typ:
             return slot, vu
     return None, None
+
+
+_NAME_OK = re.compile(r"[A-Za-z][A-Za-z0-9.:\-]*\Z")
+_INT_OK = re.compile(r"[+-]?[0-9]+\Z")
+
+
+def canon_value(dtd: Dtd, tag: str, slot: str, value: str, warn=None):
+    """Canonicalize an attribute value against its declared type
+    (canon-value, sgml-parse.lisp:866-896).  NEVER called on the parse
+    path -- the reference defines it and never calls it anywhere (verified
+    by grep; mungle-attlist keeps name=value pairs verbatim) -- but it is
+    part of the public surface, so it is exposed and tested here.
+
+    enum -> the matching enum member (upcased) or None + warn;
+    NUMBER -> int or None + warn; NAME/ID -> upcased name or None + warn;
+    other declared slots -> value verbatim; undeclared slot -> None + warn."""
+    looked = next((t for n, t in dtd.attlist.get(tag, ()) if n == slot), None)
+    w = warn or (lambda level, msg: None)
+    if isinstance(looked, list):
+        vu = value.upper()
+        if vu in looked:
+            return vu
+        w(3, f"{value!r} is a bad value for the '{slot}' slot of '<{tag}>'.")
+        return None
+    if looked == "NUMBER":
+        if _INT_OK.match(value):
+            return int(value)
+        w(3, f"{value!r} is not NUMBER (attribute '{slot}' of '<{tag}>').")
+        return None
+    if looked in ("NAME", "ID"):
+        if _NAME_OK.match(value):
+            return value.upper()
+        w(3, f"{value!r} is not NAME (attribute '{slot}' of '<{tag}>').")
+        return None
+    if looked is not None:
+        return value
+    w(3, f"The '<{tag}>' element has no '{slot}' slot.")
+    return None
 
 
 def mungle_attlist(dtd: Dtd, tag: str, atts: list, warn=None) -> list:

@@ -92,3 +92,25 @@ def test_shortest_path():
     for parent, child in zip(p, p[1:]):
         assert child in DTD.include[parent], (parent, child)
     assert shortest_path(DTD, "HTML", "TD") is None  # nothing contains HTML upward to TD
+
+
+def test_canon_value():
+    """canon-value (sgml-parse.lisp:866-896): dead code in the reference
+    (defined, never called), exposed here as the same utility."""
+    from closure_html_spark.parser.normalize import canon_value
+    warns = []
+    w = lambda level, msg: warns.append((level, msg))  # noqa: E731
+    # enum slot: METHOD of FORM is {GET, POST}
+    assert canon_value(DTD, "FORM", "METHOD", "post", w) == "POST"
+    assert canon_value(DTD, "FORM", "METHOD", "teleport", w) is None
+    # NUMBER slot: COLSPAN of TD
+    assert canon_value(DTD, "TD", "COLSPAN", "3", w) == 3
+    assert canon_value(DTD, "TD", "COLSPAN", "-2", w) == -2
+    assert canon_value(DTD, "TD", "COLSPAN", "wide", w) is None
+    # NAME/ID slot: ID of P
+    assert canon_value(DTD, "P", "ID", "intro", w) == "INTRO"
+    assert canon_value(DTD, "P", "ID", "9bad", w) is None
+    # CDATA slot passes through; undeclared slot warns
+    assert canon_value(DTD, "A", "HREF", "/x?q=1", w) == "/x?q=1"
+    assert canon_value(DTD, "P", "BOGUS", "x", w) is None
+    assert all(lv == 3 for lv, _ in warns) and len(warns) == 4
