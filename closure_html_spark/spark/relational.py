@@ -405,10 +405,17 @@ def q_minhash_bands(spark, sf_dir, n_hashes: int = 16, n_bands: int = 4,
     # exploded shingles -> 16 salted hashes per row -> map-side partial MIN:
     # stays in whole-stage codegen end to end (HOF lambdas would not)
     if portable_hash:
+        # ONE md5 per shingle; the 16 salted hashes are Carter-Wegman-style
+        # linear mixes of its two 32-bit halves (a*k1 + b*k2 + h, all
+        # < 2^41, so no BIGINT overflow in either engine -- DuckDB errors
+        # on overflow where Spark wraps)
+        md5 = F.md5(F.col("tri"))
+        a = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+        b = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+
         def _h(h):
-            return F.conv(
-                F.substring(F.md5(F.concat_ws("|", "tri", F.lit(str(h)))),
-                            1, 8), 16, 10).cast("long").alias(f"x{h}")
+            return (a * F.lit(2 * h + 3) + b * F.lit(2 * h + 101)
+                    + F.lit(h)).alias(f"x{h}")
     else:
         def _h(h):
             return F.xxhash64("tri", F.lit(h)).alias(f"x{h}")
@@ -563,8 +570,7 @@ def _minhash_oracle_sql(n_hashes: int = 16, n_bands: int = 4) -> str:
     """DuckDB replay of q_minhash_bands(portable_hash=True)."""
     per_band = n_hashes // n_bands
     mins = ",\n   ".join(
-        f"MIN(CAST(from_hex(substring(md5(tri || '|{h}'), 1, 8))::BIT "
-        f"AS BIGINT)) AS h{h}"
+        f"MIN(a * {2 * h + 3} + b * {2 * h + 101} + {h}) AS h{h}"
         for h in range(n_hashes))
     bands = "\n  UNION ALL ".join(
         "SELECT doc_id, CAST({b} AS INT) AS band, md5({cat}) AS bucket "
@@ -585,9 +591,15 @@ tri AS (
                  FOR i IN range(1, LEN(ws) - 1)]) AS tri
   FROM w WHERE LEN(ws) >= 3
 ),
+ab AS (
+  SELECT doc_id,
+         CAST(from_hex(substring(md5(tri), 1, 8))::BIT AS BIGINT) AS a,
+         CAST(from_hex(substring(md5(tri), 9, 8))::BIT AS BIGINT) AS b
+  FROM tri
+),
 hx AS (
   SELECT doc_id, {mins}
-  FROM tri GROUP BY doc_id
+  FROM ab GROUP BY doc_id
 ),
 bands AS (
   {bands}
