@@ -29,7 +29,7 @@ class Dtd:
     __slots__ = (
         "include", "exclude", "obegin", "oend", "attlist", "entities",
         "roots", "resolve", "eqv", "empty", "surclusion", "element_names",
-        "valid_tags", "pda_actions", "tag_cache",
+        "valid_tags", "pda_actions", "tag_cache", "pcdata_cache",
     )
 
     def __init__(self, data: dict):
@@ -61,6 +61,10 @@ class Dtd:
         # raw tag text -> (normalized token | None, warns tuple) memo used
         # by normalize.tokenize_normalized; size-bounded there
         self.tag_cache = {}
+        # raw entity-bearing pcdata gap -> (token, warns tuple) memo
+        # (boilerplate gaps like ' &amp; ' repeat across a corpus);
+        # size- and entry-length-bounded at the use site (pda.sgml_parse)
+        self.pcdata_cache = {}
 
     def inclusion(self, x: str) -> frozenset:
         if x == TOP:

@@ -180,6 +180,8 @@ def sgml_parse(dtd: Dtd, text: str, tokenizer: Tokenizer | None = None,
     i = 0
     cache = dtd.tag_cache
     cache_get = cache.get
+    pcache = dtd.pcdata_cache
+    pcache_get = pcache.get
     valid = dtd.valid_tags
     attlist = dtd.attlist
     warn = tk.warn
@@ -299,11 +301,28 @@ def sgml_parse(dtd: Dtd, text: str, tokenizer: Tokenizer | None = None,
                         see = ("S", PCDATA, src[i:j])
                         i = j
                     else:
-                        # entity present: exact machine for this pcdata run
-                        tk.i = i
-                        tok = tk.read_pcdata()
-                        i = tk.i
-                        see = ("S", PCDATA, tok[1])
+                        # entity present: the gap ends at the next '<'
+                        # (read-pcdata stops only there); short gaps repeat
+                        # across a corpus (' &amp; ', '&nbsp;' runs), so
+                        # memoize decoded token + warns per raw gap
+                        lt = src.find("<", i)
+                        end = n if lt < 0 else lt
+                        raw = src[i:end]
+                        hit = pcache_get(raw)
+                        if hit is not None:
+                            see, ws = hit
+                            if ws:
+                                warns_extend(ws)
+                            i = end
+                        else:
+                            w0 = len(tk.warnings)
+                            tk.i = i
+                            tok = tk.read_pcdata()
+                            i = tk.i
+                            see = ("S", PCDATA, tok[1])
+                            if len(raw) <= 256 and len(pcache) < 16384:
+                                pcache[raw] = (
+                                    see, tuple(tk.warnings[w0:]))
             if see is _DONE:
                 break
         kind = see[0]
