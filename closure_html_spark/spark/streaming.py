@@ -59,6 +59,72 @@ def stream_host_rates(pages: DataFrame, window: str = "1 minute",
                  F.sum(F.length("html")).alias("bytes_in")))
 
 
+def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator #2 (applyInPandasWithState):
+    event-time sessionization with data-driven closure.
+
+    Per user, consecutive events less than `gap_minutes` apart belong to
+    one session; an event arriving after a longer gap CLOSES the previous
+    session (emitting one row) and starts a new one.  Closure is driven by
+    the data itself, not a wall-clock timeout, so results are deterministic
+    and restart-safe: the open session (start, last_ts, n_events) lives in
+    the state store and survives checkpoint/restart; a later wave of
+    events keeps extending or closes it exactly as if the stream never
+    stopped.
+
+    State per user = 3 numbers -- constant, unlike a buffer of events."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            start_us, last_us, n_ev = state.get
+        else:
+            start_us = last_us = None
+            n_ev = 0
+        out_start, out_end, out_n = [], [], []
+        # gather the whole trigger's events for this user, then one
+        # event-time sort (chunks arrive in arbitrary order)
+        all_ts: list = []
+        for pdf in pdfs:
+            if not pdf.empty:
+                # normalize to int64 MICROseconds regardless of the
+                # datetime64 resolution pandas hands us
+                all_ts.extend(
+                    pdf["ts"].astype("datetime64[us]").astype("int64"))
+        all_ts.sort()
+        for t in all_ts:
+            if last_us is not None and t - last_us > gap_us:
+                out_start.append(start_us)
+                out_end.append(last_us)
+                out_n.append(n_ev)
+                start_us = t
+                n_ev = 0
+            elif last_us is None:
+                start_us = t
+            last_us = t
+            n_ev += 1
+        state.update((start_us, last_us, n_ev))
+        if out_start:
+            yield pd.DataFrame({
+                "user_id": key[0],
+                "session_start": pd.to_datetime(out_start, unit="us"),
+                "session_end": pd.to_datetime(out_end, unit="us"),
+                "n_events": out_n,
+            })
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=("user_id long, session_start timestamp, "
+                          "session_end timestamp, n_events int"),
+        stateStructType="start_us long, last_us long, n_ev int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_dedup_urls(pages: DataFrame, n_groups: int = 64,
                       m_bits: int = 1 << 23) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): emit

@@ -102,3 +102,52 @@ def test_stream_dedup_urls_stateful(spark, tmp_path_factory):
     got = spark.read.parquet(out_dir)
     assert got.count() == n_unique + 100, "cross-restart state failed"
     assert got.select("url").distinct().count() == n_unique + 100
+
+
+def test_stream_sessionize_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState event-time sessionization: sessions close
+    when the data shows a gap > 30 min, including gaps that SPAN a
+    restart (open-session state from the checkpoint)."""
+    from datetime import datetime
+
+    from closure_html_spark.spark.streaming import stream_sessionize
+
+    in_dir = str(tmp_path_factory.mktemp("sess_in"))
+    out_dir = str(tmp_path_factory.mktemp("sess_out"))
+    ckpt = str(tmp_path_factory.mktemp("sess_ckpt"))
+
+    def ts(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    def run():
+        stream = (spark.readStream.schema("user_id long, ts timestamp")
+                  .parquet(in_dir))
+        q = (stream_sessionize(stream, gap_minutes=30)
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    # wave 1: user 1 has two sessions (gap 09:10 -> 10:00 > 30 min); the
+    # second stays OPEN; user 2 has one open session
+    wave1 = [(1, ts(9, 0)), (1, ts(9, 10)), (1, ts(10, 0)), (1, ts(10, 5)),
+             (2, ts(9, 30))]
+    spark.createDataFrame(wave1, "user_id long, ts timestamp") \
+        .repartition(2).write.mode("append").parquet(in_dir)
+    run()
+    got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(1, ts(9, 0), ts(9, 10), 2)}, got
+
+    # wave 2: user 1's 11:00 event closes the open 10:00-10:05 session
+    # (state crossed the restart); user 2's 09:40 extends, then 12:00
+    # closes 09:30-09:40
+    wave2 = [(1, ts(11, 0)), (2, ts(9, 40)), (2, ts(12, 0))]
+    spark.createDataFrame(wave2, "user_id long, ts timestamp") \
+        .repartition(2).write.mode("append").parquet(in_dir)
+    run()
+    got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(1, ts(9, 0), ts(9, 10), 2),
+                   (1, ts(10, 0), ts(10, 5), 2),
+                   (2, ts(9, 30), ts(9, 40), 2)}, got
