@@ -19,6 +19,7 @@ from .dtd import Dtd, load_dtd
 from .serialize import (
     URI_ATTRS,
     _escape_attribute,
+    _escape_datachar,
     _escape_datachar_readable,
     _escape_uri,
 )
@@ -36,14 +37,16 @@ class HtmlWriter:
         self._pending: tuple[str, list] | None = None
         self._raw_depth = 0  # inside SCRIPT/STYLE: text written raw
         # doctype iff a system-id is given (hax:start-document,
-        # unparse.lisp:70-87)
+        # unparse.lisp:68-84): public/system ids go through unparse-string
+        # (the datachar escape table), and a newline follows the `>`
         if system_id:
             self._out.append(f"<!DOCTYPE {name}")
             if public_id:
-                self._out.append(f' PUBLIC "{public_id}" "{system_id}"')
+                self._out.append(f' PUBLIC "{_escape_datachar(public_id)}"'
+                                 f' "{_escape_datachar(system_id)}"')
             else:
-                self._out.append(f' SYSTEM "{system_id}"')
-            self._out.append(">")
+                self._out.append(f' SYSTEM "{_escape_datachar(system_id)}"')
+            self._out.append(">\n")
 
     # -- events --------------------------------------------------------
 
@@ -85,7 +88,11 @@ class HtmlWriter:
             self._flush_start_tag()
             if raw:
                 self._raw_depth -= 1
-            if self._dtd.include.get(name):  # EMPTY elements: no end tag
+            # only DTD-declared EMPTY elements suppress the end tag; names
+            # absent from the DTD entirely still get one (else authored
+            # output with unknown elements would be unbalanced)
+            include = self._dtd.include.get(name)
+            if include or include is None:
                 self._out.append(f"</{name}>")
 
     def attribute(self, name: str, value):

@@ -92,18 +92,29 @@ def shortest_path_to(dtd: Dtd, pathen: list[list[str]], goal: str,
     sgml-parse.lisp:1699-1712): paths grow by prepending each element of
     the head's surclusion (the elements that may contain it) until a path
     head equals `goal`.  Dev tooling in the reference (used by its
-    Netscape-comparison scripts); exposed here for DTD exploration."""
-    if max_depth <= 0:
-        return None
-    for p in pathen:
-        if p[0] == goal:
-            return p
-    nxt = [[s] + p
-           for p in pathen
-           for s in sorted(dtd.surclusion.get(p[0], ()))]
-    if not nxt:
-        return None
-    return shortest_path_to(dtd, nxt, goal, max_depth - 1)
+    Netscape-comparison scripts); exposed here for DTD exploration.
+
+    Unlike the reference's naive level expansion, visited heads are
+    deduplicated (BFS still finds a shortest chain, and the first chain in
+    the reference's expansion order wins a head) -- without this, an
+    unreachable goal from a well-connected start multiplies by the
+    surclusion fan-in each level and explodes combinatorially."""
+    visited = {p[0] for p in pathen}
+    while max_depth > 0:
+        for p in pathen:
+            if p[0] == goal:
+                return p
+        nxt = []
+        for p in pathen:
+            for s in sorted(dtd.surclusion.get(p[0], ())):
+                if s not in visited:
+                    visited.add(s)
+                    nxt.append([s] + p)
+        if not nxt:
+            return None
+        pathen = nxt
+        max_depth -= 1
+    return None
 
 
 def shortest_path(dtd: Dtd, start: str, goal: str) -> list[str] | None:

@@ -75,6 +75,17 @@ def lhtml_to_json(node):
 # String sink
 
 
+def _escape_datachar(data: str) -> str:
+    # unparse-datachar (unparse.lisp:199-208): & < > " TAB LF CR -- the
+    # table hax:start-document routes doctype public/system ids through
+    if not any(c in data for c in '&<>"\t\n\r'):
+        return data
+    return (data.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;").replace('"', "&quot;")
+                .replace("\t", "&#9;").replace("\n", "&#10;")
+                .replace("\r", "&#13;"))
+
+
 def _escape_datachar_readable(data: str) -> str:
     # unparse-datachar-readable (unparse.lisp:210-217): & < > " CR
     if not any(c in data for c in '&<>"\r'):

@@ -123,7 +123,10 @@ def run_extraction_with_lineage(spark: SparkSession, pages: DataFrame,
         # write (which materializes every bucket's text twice).
         (ext.write.partitionBy("bucket").mode("append")
             .parquet(f"{output_dir}/extracted"))
-        stats = (spark.read.parquet(f"{output_dir}/extracted")
+        # explicit schema: an all-empty first group writes only _SUCCESS
+        # (no part files), and schema inference would fail on that
+        stats = (spark.read.schema(ext.schema)
+                 .parquet(f"{output_dir}/extracted")
                  .filter(F.col("bucket").isin(group))
                  .groupBy("bucket")
                  .agg(F.count(F.lit(1)).alias("output_count"),

@@ -72,6 +72,15 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     events keeps extending or closes it exactly as if the stream never
     stopped.
 
+    Out-of-order events ACROSS triggers (there is no watermark): an event
+    older than the open session's last_ts is merged into that session --
+    last_ts never regresses (max), and the session start extends backwards
+    (min) -- so a straggler can widen the open session but can never
+    falsely split it or emit session_end < session_start.  Once a session
+    has been CLOSED and emitted, a straggler that would have belonged to it
+    starts/joins the current session instead; bound that staleness upstream
+    with a watermark if exact late-data placement matters.
+
     State per user = 3 numbers -- constant, unlike a buffer of events."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -96,15 +105,23 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                     pdf["ts"].astype("datetime64[us]").astype("int64"))
         all_ts.sort()
         for t in all_ts:
-            if last_us is not None and t - last_us > gap_us:
+            if last_us is None:
+                start_us = t
+                last_us = t
+            elif t - last_us > gap_us:
                 out_start.append(start_us)
                 out_end.append(last_us)
                 out_n.append(n_ev)
                 start_us = t
+                last_us = t
                 n_ev = 0
-            elif last_us is None:
-                start_us = t
-            last_us = t
+            else:
+                # cross-trigger straggler (t <= last_us): merge, never
+                # regress last_us or let start exceed it
+                if t < start_us:
+                    start_us = t
+                if t > last_us:
+                    last_us = t
             n_ev += 1
         state.update((start_us, last_us, n_ev))
         if out_start:
@@ -135,21 +152,21 @@ def stream_dedup_urls(pages: DataFrame, n_groups: int = 64,
     ingest.
 
     State = one CONSTANT-SIZE Bloom filter per url-hash group (m_bits bits,
-    k=4 hashes carved from the url's md5), so state is m_bits/8 bytes per
-    group forever -- an exact-set state would grow 8 bytes per unique url
+    k=4 hash indices computed JVM-side as xxhash64(url, seed_i) columns
+    BEFORE the stateful operator), so state is m_bits/8 bytes per group
+    forever -- an exact-set state would grow 8 bytes per unique url
     (8 TB at 10^12 urls).  The trade is a bounded false-drop rate:
     (1-exp(-4n/m))^4 per new url after n uniques in a group (~0.2% at
-    n = m/16; size m_bits to the expected uniques).  Membership tests and
-    bit updates are numpy-vectorized over the whole Arrow batch -- no
-    per-row Python.
+    n = m/16; size m_bits to the expected uniques).  The Python fn does
+    ONLY numpy indexing over the precomputed index columns -- no per-row
+    hashing, no per-row Python at all.
     """
-    import hashlib
-
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     n_bytes = m_bits // 8
+    idx_cols = [f"_h{i}" for i in range(4)]
 
     def fn(key, pdfs, state):
         if state.exists:
@@ -160,17 +177,12 @@ def stream_dedup_urls(pages: DataFrame, n_groups: int = 64,
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            # 4 x 32-bit hash indices per url from one md5 (vectorized
-            # reinterpret of the concatenated digests)
-            dig_list = [hashlib.md5(u.encode("utf-8")).digest()
-                        for u in pdf["url"]]
-            idx = (np.frombuffer(b"".join(dig_list), dtype=">u4")
-                   .reshape(-1, 4) % np.uint32(m_bits))
+            idx = pdf[idx_cols].to_numpy(dtype=np.int64)
             byte_i = idx >> 3
             bit_m = np.uint8(1) << (idx & 7).astype(np.uint8)
             seen = ((bloom[byte_i] & bit_m) == bit_m).all(axis=1)
             # also drop repeats within this batch (first occurrence wins)
-            first_in_batch = ~pd.Series(dig_list).duplicated().to_numpy()
+            first_in_batch = ~pd.Series(pdf["url"]).duplicated().to_numpy()
             emit = (~seen) & first_in_batch
             if emit.any():
                 ei = byte_i[emit].ravel()
@@ -183,6 +195,9 @@ def stream_dedup_urls(pages: DataFrame, n_groups: int = 64,
 
     keyed = pages.withColumn(
         "grp", F.pmod(F.xxhash64("url"), F.lit(n_groups)).cast("int"))
+    for i, c in enumerate(idx_cols):
+        keyed = keyed.withColumn(
+            c, F.pmod(F.xxhash64("url", F.lit(i)), F.lit(m_bits)))
     return keyed.groupBy("grp").applyInPandasWithState(
         fn,
         outputStructType="url string, warc_ts timestamp, html binary",

@@ -71,10 +71,27 @@ def test_empty_element_no_end_tag_and_script_raw():
 def test_doctype_iff_system_id():
     w = HtmlWriter(DTD, system_id="http://www.w3.org/TR/html4/frameset.dtd",
                    public_id="-//W3C//DTD HTML 4.0 Frameset//EN")
-    assert w.getvalue().startswith(
+    # hax:start-document (unparse.lisp:68-84): ids through unparse-string,
+    # newline after `>`
+    assert w.getvalue() == (
         '<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.0 Frameset//EN" '
-        '"http://www.w3.org/TR/html4/frameset.dtd">')
+        '"http://www.w3.org/TR/html4/frameset.dtd">\n')
     assert HtmlWriter(DTD).getvalue() == ""
+
+
+def test_doctype_ids_dtd_escaped():
+    # unparse-datachar escapes & < > " TAB LF CR inside the ids
+    w = HtmlWriter(DTD, system_id='x"y&z<w>.dtd')
+    assert w.getvalue() == \
+        '<!DOCTYPE HTML SYSTEM "x&quot;y&amp;z&lt;w&gt;.dtd">\n'
+
+
+def test_unknown_element_gets_end_tag():
+    # names absent from the DTD are NOT EMPTY elements: output must balance
+    w = HtmlWriter(DTD)
+    with w.element("foo"):
+        w.text("x")
+    assert w.getvalue() == "<FOO>x</FOO>"
 
 
 def test_with_html_output_contextmanager():
@@ -92,6 +109,12 @@ def test_shortest_path():
     for parent, child in zip(p, p[1:]):
         assert child in DTD.include[parent], (parent, child)
     assert shortest_path(DTD, "HTML", "TD") is None  # nothing contains HTML upward to TD
+    # unreachable goal from a well-connected start must terminate fast
+    # (visited-dedup BFS; the naive level expansion explodes ~fan_in^10)
+    import time
+    t0 = time.monotonic()
+    assert shortest_path(DTD, "A", "NOSUCHELEMENT") is None
+    assert time.monotonic() - t0 < 2.0
 
 
 def test_canon_value():

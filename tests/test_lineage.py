@@ -59,6 +59,20 @@ def test_lineage_counts_match_output(spark, pages, tmp_path_factory):
     assert row["extracted_text"].startswith("home about")
 
 
+def test_lineage_empty_corpus(spark, pages, tmp_path_factory):
+    """An all-empty input writes only _SUCCESS (no part files) for the
+    first group; the stats read-back must use the explicit schema instead
+    of inference (which fails on a file-less directory)."""
+    out = str(tmp_path_factory.mktemp("lineage_empty"))
+    empty = pages.filter(F.lit(False))
+    r = run_extraction_with_lineage(spark, empty, out, n_buckets=4,
+                                    group_size=2)
+    assert set(r["processed"]) == {0, 1, 2, 3}
+    man = spark.read.parquet(f"{out}/_lineage")
+    assert man.count() == 4
+    assert man.filter("status = 'ok' and output_count = 0").count() == 4
+
+
 def test_salt_skewed_splits_hot_hosts(spark, pages):
     with_host = pages.withColumn(
         "url_host", F.regexp_extract("url", r"https://([^/]+)/", 1))

@@ -151,3 +151,16 @@ def test_stream_sessionize_stateful(spark, tmp_path_factory):
     assert got == {(1, ts(9, 0), ts(9, 10), 2),
                    (1, ts(10, 0), ts(10, 5), 2),
                    (2, ts(9, 30), ts(9, 40), 2)}, got
+
+    # wave 3: out-of-order straggler. user 2's open session is 12:00; an
+    # 11:50 straggler must MERGE (extend start backwards, last_ts must not
+    # regress), then 13:00 closes 11:50-12:00 -- never an inverted
+    # session_end < session_start and never a false split
+    wave3 = [(2, ts(11, 50)), (2, ts(13, 0))]
+    spark.createDataFrame(wave3, "user_id long, ts timestamp") \
+        .repartition(1).write.mode("append").parquet(in_dir)
+    run()
+    got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert (2, ts(11, 50), ts(12, 0), 2) in got, got
+    assert all(s <= e for _, s, e, _ in got), got
