@@ -287,9 +287,11 @@ SELECT * FROM (
         "simhash": R.ORACLE_SIMHASH,
         "minhash_bands": R.ORACLE_MINHASH,
         "embedding_neardup": R.ORACLE_EMBEDDING_NEARDUP,
+        # the LSH oracles replay the md5-derived hyperplane sign matrix
+        # bit-for-bit (constants baked into both plans); band_bits=4 in the
+        # oracle matches lsh_band_bits(500) at the driver's sf0.01 gate
+        "embedding_neardup_lsh": R.ORACLE_EMBEDDING_NEARDUP_LSH,
+        "ann_lsh_topk": R.ORACLE_ANN_LSH,
         "media_decode": ORACLE_MEDIA_DECODE,
         "media_meta": ORACLE_MEDIA_META,
-        # ann_lsh_topk, embedding_neardup_lsh: candidate sets depend on the
-        # engine-specific xxhash64 hyperplane signs -> rows-only; recall vs
-        # the exact baselines is pinned in tests instead
     }

@@ -766,32 +766,93 @@ ORDER BY a_id, b_id
 """
 
 
+def lsh_band_bits(n_rows: int, lo: int = 4, hi: int = 20) -> int:
+    """Corpus-sized bucket width for the banded-LSH scale paths.
+
+    band_bits = clamp(ceil(log2 N) - 10, lo, hi): 2^band_bits buckets per
+    band puts the EXPECTED bucket occupancy at N / 2^(log2 N - 10) = 2^10
+    = ~1024 rows, so the bucket self-join generates about
+    n_bands * N * 1024 / 2 candidate pairs -- LINEAR in N -- instead of
+    the ~n_bands * 2^band_bits * (N/2^band_bits)^2 / 2 = N^2-ish blowup a
+    fixed small band_bits gives (the round-2 default of 4 bits degenerated
+    to ~N^2/32 pairs at 10^9 vectors).  Examples: N=500 -> 4 (floor),
+    N=10^6 -> 10, N=10^9 -> 20.  hi=20 bounds plan-compile cost (each bit
+    is one zip_with dot product; 8 bands x 20 bits = 160 expressions) --
+    beyond ~10^9 rows per partition-group, pre-compute signatures with a
+    numpy projection in mapInArrow instead of column expressions.
+    Occupancy is asserted by tests/test_lsh_scale.py; the full sizing
+    derivation lives in SCALE.md."""
+    import math
+    if n_rows <= 1:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows)) - 10))
+
+
+def _rhp_sign_matrix(n_bits: int, dim: int = 64) -> list[list[float]]:
+    """Deterministic +-1 hyperplane matrix derived from md5 ("rhp:bit:dim"),
+    computed ONCE at plan-build time and baked into the plan as array
+    literals -- portable across engines by construction: the DuckDB oracles
+    embed the SAME constants, so both engines replay identical signatures
+    (the round-2 minhash/simhash portable-hash pattern, taken one step
+    further: no per-row hashing exists at all here)."""
+    import hashlib
+    return [[1.0 if hashlib.md5(f"rhp:{b}:{d}".encode()).digest()[0] % 2 == 0
+             else -1.0 for d in range(dim)]
+            for b in range(n_bits)]
+
+
+def _rhp_bands(emb_col, band_bits: int, n_bands: int, dim: int = 64):
+    """Array of (band, val) structs: val = the band's band_bits hyperplane
+    sign bits packed little-endian.  Each bit is sign(dot(embedding, +-1
+    row)) via zip_with/aggregate -- JVM-side, whole-stage codegen."""
+    signs = _rhp_sign_matrix(band_bits * n_bands, dim)
+
+    def bit(i):
+        dot = F.aggregate(
+            F.zip_with(emb_col, F.lit(signs[i]),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    structs = []
+    for b in range(n_bands):
+        val = None
+        for i in range(band_bits):
+            t = bit(b * band_bits + i) * F.lit(1 << i)
+            val = t if val is None else val + t
+        structs.append(F.struct(F.lit(b).alias("band"), val.alias("val")))
+    return F.array(*structs)
+
+
 def q_embedding_neardup_lsh(spark, sf_dir, threshold: float = 0.4,
-                            band_bits: int = 4, n_bands: int = 8):
+                            band_bits: int | None = None, n_bands: int = 8):
     """Scale path for embedding near-dup: random-hyperplane LSH bucket
     self-join + exact cosine rerank, instead of the O(N^2) crossJoin.
 
-    A pair is a candidate iff ANY of the n_bands band values matches --
-    a bucket equi-join whose size is sum over buckets of |bucket|^2, not
-    N^2.  q_embedding_neardup (the crossJoin) stays as the exact oracle;
-    test_embedding_neardup_lsh_recall pins recall against it."""
+    A pair is a candidate iff ANY of the n_bands band values matches -- a
+    bucket equi-join whose size is sum over buckets of |bucket|^2, not N^2.
+    band_bits defaults to lsh_band_bits(N) (~1024 expected rows/bucket =>
+    candidates linear in N); only (vec_id, band, val) flows through the
+    banding shuffle -- embeddings join back AFTER candidate-pair dedup, so
+    the 64-float vector is never amplified x n_bands through the exchange.
+    q_embedding_neardup (the crossJoin) stays as the exact baseline;
+    test_embedding_neardup_lsh_recall pins recall against it, and the
+    DuckDB oracle replays the signature bit-for-bit (md5 sign matrix)."""
     emb = _t(spark, sf_dir, "embeddings")
-    n_bits = band_bits * n_bands
-    sig = _rhp_signature(F.col("embedding"), n_bits=n_bits)
-    mask = (1 << band_bits) - 1
-    bands = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.shiftright(F.col("sig"), b * band_bits)
-                  .bitwiseAND(F.lit(mask)).alias("val"))
-        for b in range(n_bands)])
-    banded = (emb.select("vec_id", "embedding", sig.alias("sig"))
-              .select("vec_id", "embedding", F.explode(bands).alias("bk")))
-    a = banded.select(F.col("vec_id").alias("a_id"),
-                      F.col("embedding").alias("a_emb"),
-                      F.col("bk").alias("a_bk"))
-    b = banded.select(F.col("vec_id").alias("b_id"),
-                      F.col("embedding").alias("b_emb"),
-                      F.col("bk").alias("b_bk"))
+    if band_bits is None:
+        band_bits = lsh_band_bits(emb.count())
+    bands = _rhp_bands(F.col("embedding"), band_bits, n_bands)
+    banded = emb.select("vec_id", F.explode(bands).alias("bk"))
+    a = banded.select(F.col("vec_id").alias("a_id"), F.col("bk").alias("a_bk"))
+    b = banded.select(F.col("vec_id").alias("b_id"), F.col("bk").alias("b_bk"))
+    pairs = (a.join(b, a.a_bk == b.b_bk)             # bucket equi-join
+             .filter(F.col("a_id") < F.col("b_id"))
+             .select("a_id", "b_id")
+             .dropDuplicates(["a_id", "b_id"]))      # ANY-band semantics
+    ea = emb.select(F.col("vec_id").alias("a_id"),
+                    F.col("embedding").alias("a_emb"))
+    eb = emb.select(F.col("vec_id").alias("b_id"),
+                    F.col("embedding").alias("b_emb"))
     dot = F.aggregate(
         F.zip_with(F.col("a_emb"), F.col("b_emb"),
                    lambda x, y: x.cast("double") * y.cast("double")),
@@ -800,63 +861,39 @@ def q_embedding_neardup_lsh(spark, sf_dir, threshold: float = 0.4,
         F.transform(c, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
     sim = F.round(dot / (norm(F.col("a_emb")) * norm(F.col("b_emb"))), 6)
-    return (a.join(b, a.a_bk == b.b_bk)              # bucket equi-join
-            .filter(F.col("a_id") < F.col("b_id"))
-            .dropDuplicates(["a_id", "b_id"])        # ANY-band semantics
+    return (pairs.join(ea, "a_id").join(eb, "b_id")  # rerank on candidates
             .select("a_id", "b_id", sim.alias("sim"))
             .filter(F.col("sim") >= threshold)
             .orderBy("a_id", "b_id"))
 
 
-def _rhp_signature(emb_col, n_bits: int = 12, dim: int = 64):
-    """Random-hyperplane LSH signature, fully deterministic and JVM-side:
-    projection matrix entries are pseudo-random +-1 derived from
-    xxhash64(bit_index * dim + dim_index) -- no RNG, identical on every
-    executor, no broadcast needed."""
-    bits = []
-    for b in range(n_bits):
-        terms = None
-        for d in range(dim):
-            # deterministic sign in {-1, +1}
-            sign = F.when(
-                F.xxhash64(F.lit(b * dim + d)) % 2 == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0))
-            t = F.element_at(emb_col, d + 1).cast("double") * sign
-            terms = t if terms is None else terms + t
-        bits.append(F.when(terms >= 0, F.lit(1)).otherwise(F.lit(0)))
-    sig = F.lit(0).cast("long")
-    for i, bit in enumerate(bits):
-        sig = sig + bit.cast("long") * F.lit(2 ** i)
-    return sig
-
-
 def q_ann_lsh_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
-                   band_bits: int = 4, n_bands: int = 8):
+                   band_bits: int | None = None, n_bands: int = 8):
     """LSH-bucketed approximate top-k: the scale path for similarity search.
 
     Banded OR-construction over random-hyperplane bits (n_bands tables of
-    band_bits each): a pair is a candidate if ANY band matches; exact cosine
-    rerank inside candidates.  At 10^9 vectors this replaces the per-query
-    O(N) scan with n_bands bucket joins.  Recall vs the brute-force
-    reference (q_ann_cosine_topk) depends on the data's neighbor structure:
-    ~1.0 for true near-duplicates; lower for uniformly random vectors whose
+    band_bits each, band_bits sized by lsh_band_bits(N)): a pair is a
+    candidate if ANY band matches; exact cosine rerank inside candidates.
+    At 10^9 vectors this replaces the per-query O(N) scan with n_bands
+    bucket joins over ~2^10-row buckets.  Only ids flow through the band
+    join; query embeddings broadcast, corpus embeddings join back on the
+    deduped candidate set.  Recall vs the brute-force reference
+    (q_ann_cosine_topk) depends on the data's neighbor structure: ~1.0 for
+    true near-duplicates; lower for uniformly random vectors whose
     "nearest" neighbors are far (tested in test_ann_lsh_recall)."""
     emb = _t(spark, sf_dir, "embeddings")
-    n_bits = band_bits * n_bands
-    sig = _rhp_signature(F.col("embedding"), n_bits=n_bits)
-    tagged = emb.select("vec_id", "embedding", sig.alias("sig"))
-    mask = (1 << band_bits) - 1
-    bands = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.shiftright(F.col("sig"), b * band_bits)
-                  .bitwiseAND(F.lit(mask)).alias("val"))
-        for b in range(n_bands)])
-    banded = tagged.select("vec_id", "embedding",
-                           F.explode(bands).alias("bk"))
+    if band_bits is None:
+        band_bits = lsh_band_bits(emb.count())
+    bands = _rhp_bands(F.col("embedding"), band_bits, n_bands)
+    banded = emb.select("vec_id", F.explode(bands).alias("bk"))
     qs = (banded.filter(F.col("vec_id") < n_queries)
-          .select(F.col("vec_id").alias("q_id"),
-                  F.col("embedding").alias("q_emb"),
-                  F.col("bk").alias("q_bk")))
+          .select(F.col("vec_id").alias("q_id"), F.col("bk").alias("q_bk")))
+    cands = (F.broadcast(qs).join(banded, qs.q_bk == banded.bk)
+             .filter(F.col("vec_id") != F.col("q_id"))
+             .select("q_id", "vec_id")
+             .dropDuplicates(["q_id", "vec_id"]))
+    eq = emb.select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_emb"))
     dot = F.aggregate(
         F.zip_with(F.col("q_emb"), F.col("embedding"),
                    lambda a, b: a.cast("double") * b.cast("double")),
@@ -865,15 +902,104 @@ def q_ann_lsh_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
         F.transform(c, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
     sim = F.round(dot / (norm(F.col("q_emb")) * norm(F.col("embedding"))), 6)
-    cands = (F.broadcast(qs).join(banded, qs.q_bk == banded.bk)
-             .filter(F.col("vec_id") != F.col("q_id"))
-             .select("q_id", "vec_id", sim.alias("sim"))
-             .dropDuplicates(["q_id", "vec_id"]))
+    scored = (cands.join(F.broadcast(eq), "q_id").join(emb, "vec_id")
+              .select("q_id", "vec_id", sim.alias("sim")))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
-    return (cands.withColumn("rnk", F.row_number().over(w))
+    return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("q_id", "vec_id", "sim", "rnk")
             .orderBy("q_id", "rnk"))
+
+
+def _rhp_oracle_ctes(band_bits: int, n_bands: int, dim: int = 64) -> str:
+    """Shared sig/banded CTE text for the two LSH oracles: the SAME md5
+    sign constants as _rhp_bands, embedded as DuckDB array literals."""
+    signs = _rhp_sign_matrix(band_bits * n_bands, dim)
+    bit_cols = ",\n         ".join(
+        f"CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(str(v) for v in row)}]::DOUBLE[]) >= 0 "
+        f"THEN 1 ELSE 0 END AS bit{i}"
+        for i, row in enumerate(signs))
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT vec_id, CAST({b} AS BIGINT) AS band, CAST({expr} AS BIGINT)"
+        " AS val FROM sig".format(
+            b=b, expr=" + ".join(f"{1 << i} * bit{b * band_bits + i}"
+                                 for i in range(band_bits)))
+        for b in range(n_bands))
+    return f"""sig AS (
+  SELECT vec_id, embedding,
+         {bit_cols}
+  FROM embeddings
+),
+banded AS (
+{band_selects}
+)"""
+
+
+def _embedding_neardup_lsh_oracle_sql(threshold: float = 0.4,
+                                      band_bits: int = 4,
+                                      n_bands: int = 8) -> str:
+    """DuckDB replay of q_embedding_neardup_lsh.  band_bits=4 matches
+    lsh_band_bits(500) -- the sf0.01 embeddings row count the driver's
+    correctness gate runs at (the query computes the same value from its
+    own count)."""
+    return f"""
+WITH {_rhp_oracle_ctes(band_bits, n_bands)},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+),
+sims AS (
+  SELECT p.a_id, p.b_id,
+         ROUND(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+               6) AS sim
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.a_id
+  JOIN embeddings eb ON eb.vec_id = p.b_id
+)
+SELECT a_id, b_id, sim FROM sims WHERE sim >= {threshold}
+ORDER BY a_id, b_id
+"""
+
+
+def _ann_lsh_oracle_sql(k: int = 5, n_queries: int = 3, band_bits: int = 4,
+                        n_bands: int = 8) -> str:
+    """DuckDB replay of q_ann_lsh_topk (same band_bits coupling note as
+    _embedding_neardup_lsh_oracle_sql)."""
+    return f"""
+WITH {_rhp_oracle_ctes(band_bits, n_bands)},
+qs AS (SELECT vec_id AS q_id, band, val FROM banded WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT DISTINCT q.q_id, b.vec_id
+  FROM qs q JOIN banded b
+    ON q.band = b.band AND q.val = b.val AND b.vec_id <> q.q_id
+),
+sims AS (
+  SELECT c.q_id, c.vec_id,
+         ROUND(list_dot_product(eq.embedding::DOUBLE[], ev.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(ev.embedding::DOUBLE[], ev.embedding::DOUBLE[]))),
+               6) AS sim
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.q_id
+  JOIN embeddings ev ON ev.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+              AS INT) AS rnk
+  FROM sims
+)
+SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= {k}
+ORDER BY q_id, rnk
+"""
+
+
+ORACLE_EMBEDDING_NEARDUP_LSH = _embedding_neardup_lsh_oracle_sql()
+ORACLE_ANN_LSH = _ann_lsh_oracle_sql()
 
 
 def q_winnow_fingerprint(spark, sf_dir, k: int = 8, w: int = 16):

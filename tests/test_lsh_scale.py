@@ -1,0 +1,54 @@
+"""LSH scale-parameterization audits: the banded RHP paths must generate
+candidate pairs LINEAR in N under the lsh_band_bits sizing rule, with
+bucket occupancy matching the rule's 2^10-rows/bucket model -- otherwise
+the "scale path" silently degenerates to the crossJoin it replaces."""
+
+from pyspark.sql import functions as F
+
+from closure_html_spark.spark.relational import _rhp_bands, lsh_band_bits
+
+
+def test_lsh_band_bits_sizing_rule():
+    # floor at small N (the sf-scale fixtures), log growth, compile-bound cap
+    assert lsh_band_bits(0) == 4
+    assert lsh_band_bits(500) == 4
+    assert lsh_band_bits(10**6) == 10
+    assert lsh_band_bits(10**9) == 20
+    assert lsh_band_bits(10**12) == 20  # capped: see docstring
+    # the rule keeps expected occupancy ~2^10, so the analytic candidate
+    # ratio n_bands * occupancy / N vanishes as N grows
+    for n in (10**7, 10**8, 10**9):
+        bb = lsh_band_bits(n)
+        occupancy = n / 2**bb
+        assert occupancy <= 2**10
+        assert 8 * occupancy / n < 1e-3, "candidates not << N^2"
+
+
+def test_lsh_bucket_occupancy_and_candidate_count(spark):
+    """Empirical check at a synthetic N: observed bucket occupancy and the
+    implied candidate-pair count must match the sizing model (no hidden
+    skew: RHP over random vectors should fill buckets near-uniformly)."""
+    N, n_bands = 20_000, 8
+    bb = lsh_band_bits(N)
+    assert bb == 5
+    emb = F.array(*[F.rand(seed=i) - F.lit(0.5) for i in range(64)])
+    df = spark.range(N).select(F.col("id").alias("vec_id"),
+                               emb.alias("embedding"))
+    banded = df.select(
+        F.explode(_rhp_bands(F.col("embedding"), bb, n_bands)).alias("bk"))
+    occ = (banded.groupBy("bk")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
+                F.max("c").alias("max_c"),
+                F.count(F.lit(1)).alias("n_buckets"))
+           .collect()[0])
+    expected_occupancy = N / 2**bb
+    # candidate pairs ~ n_bands * N * occupancy / 2 (linear-in-N model);
+    # x3 slack for bucket imbalance of random projections
+    model = n_bands * N * expected_occupancy / 2
+    assert occ["pairs"] <= 3 * model, \
+        f"candidates {occ['pairs']} blow the occupancy model {model}"
+    # no degenerate hot bucket (skew would resurrect the N^2 join)
+    assert occ["max_c"] <= 8 * expected_occupancy
+    # and the model itself is far below all-pairs at this N
+    assert occ["pairs"] < 0.5 * N * (N - 1) / 2
