@@ -1006,23 +1006,45 @@ def q_winnow_fingerprint(spark, sf_dir, k: int = 8, w: int = 16):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
     rolling k-gram hashes, keep the minimum of every w-window, distinct.
     Guarantees any shared substring of length >= w+k-1 yields a shared
-    fingerprint -- the plagiarism/near-dup detection primitive.  Hash =
-    first 8 md5 hex digits of the k-gram (portable across engines, so the
-    DuckDB oracle replays it exactly).  All JVM-side: posexplode + window
-    min + distinct."""
+    fingerprint -- the plagiarism/near-dup detection primitive.
+
+    Computed in ONE shuffle-free Arrow stage (spark/winnow.py: numpy
+    rolling polynomial hash + sliding-window min per document) -- the
+    round-2 relational form exploded a row per character position and
+    shuffled them through Window.partitionBy(doc_id), ~10^14 rows of
+    shuffle at 100 TB of text.  That relational formulation survives as
+    the definition: q_winnow_fingerprint_expr (in-Spark SQL twin, diffed
+    in tests) and ORACLE_WINNOW (DuckDB) replay the identical portable
+    hash.  The trailing orderBy exists for the deterministic oracle
+    compare; the fingerprint computation itself has no exchange."""
+    from .winnow import winnow_fingerprints
     docs = _t(spark, sf_dir, "documents")
-    # explode positions first, then hash as a plain column expression:
-    # stays in whole-stage codegen end to end (a transform(sequence(...))
-    # lambda array would be interpreted, not codegen'd -- see _shingles)
+    return winnow_fingerprints(docs, k=k, w=w).orderBy("doc_id")
+
+
+def _winnow_hash_expr(k: int, pos: str = "pos") -> str:
+    """The portable rolling hash h = fold (h*257 + codepoint) mod 1e9+7 as
+    nested SQL -- identical text works in Spark SQL and DuckDB."""
+    expr = f"CAST(ascii(substring(text, {pos}, 1)) AS BIGINT)"
+    for j in range(1, k):
+        expr = (f"(({expr}) * 257 + "
+                f"ascii(substring(text, {pos} + {j}, 1))) % 1000000007")
+    return expr
+
+
+def q_winnow_fingerprint_expr(spark, sf_dir, k: int = 8, w: int = 16):
+    """The relational formulation of q_winnow_fingerprint (explode one row
+    per char position + window min): kept as the executable DEFINITION the
+    Arrow kernel is differentially tested against, not as the scale path."""
+    docs = _t(spark, sf_dir, "documents")
     grams = (docs
              .select("doc_id", "text",
                      F.explode(F.sequence(F.lit(1),
                                           F.length("text") - (k - 1)))
                       .alias("pos"))
+             .filter(F.length("text") >= k)
              .select("doc_id", "pos",
-                     F.conv(F.substring(
-                         F.md5(F.expr(f"substring(text, pos, {k})")), 1, 8),
-                         16, 10).cast("long").alias("h")))
+                     F.expr(_winnow_hash_expr(k)).alias("h")))
     win = Window.partitionBy("doc_id").orderBy("pos") \
                 .rowsBetween(0, w - 1)
     fps = (grams.withColumn("wmin", F.min("h").over(win))
@@ -1034,11 +1056,10 @@ def q_winnow_fingerprint(spark, sf_dir, k: int = 8, w: int = 16):
             .orderBy("doc_id"))
 
 
-ORACLE_WINNOW = """
+ORACLE_WINNOW = f"""
 WITH grams AS (
   SELECT doc_id, i AS pos,
-         CAST(from_hex(substring(md5(substring(text, i, 8)), 1, 8))::BIT
-              AS BIGINT) AS h
+         {_winnow_hash_expr(8, pos="i")} AS h
   FROM documents, UNNEST(range(1, LENGTH(text) - 6)) AS t(i)
 ),
 wins AS (

@@ -96,9 +96,24 @@ def test_embedding_neardup_lsh_no_cartesian(spark):
         or "BroadcastHashJoin" in plan
 
 
-def test_winnow_stays_in_codegen(spark):
-    """The k-gram hash must be a codegen'd column expression (explode of a
-    sequence), not an interpreted higher-order-function lambda."""
+def test_winnow_is_shuffle_free_arrow_stage(spark):
+    """Winnowing is a per-document function: the plan must be scan ->
+    mapInPandas -> (sort for the oracle compare), with NO char-position
+    explode and NO Window/shuffle over gram rows -- round 2's relational
+    form pushed ~10^14 rows through an exchange at 100 TB."""
     plan = plan_of(R.q_winnow_fingerprint(spark, SF))
-    assert "transform(" not in plan, "HOF lambda back in the gram path"
-    assert "Generate explode" in plan or "Generate" in plan
+    assert "MapInPandas" in plan
+    assert "Generate" not in plan, "char-position explode is back"
+    assert "Window" not in plan, "gram rows going through a window again"
+    # the only exchange allowed is the rangepartitioning for the final sort
+    assert "hashpartitioning" not in plan, "a shuffle crept into winnowing"
+
+
+def test_winnow_kernel_matches_relational_definition(spark):
+    """The numpy kernel must reproduce the relational formulation (the
+    executable definition) row-for-row, truncated trailing windows and
+    all."""
+    fast = {tuple(r) for r in R.q_winnow_fingerprint(spark, SF).collect()}
+    ref = {tuple(r)
+           for r in R.q_winnow_fingerprint_expr(spark, SF).collect()}
+    assert fast == ref
