@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": R.q_ann_lsh_topk,
         "minhash_bands": R.q_minhash_bands,
         "lang_id": R.q_lang_id,
+        "mime_class": R.q_mime_class,
         "simhash": R.q_simhash,
         "embedding_neardup": R.q_embedding_neardup,
         "embedding_neardup_lsh": R.q_embedding_neardup_lsh,
@@ -284,6 +285,7 @@ SELECT * FROM (
         "ngram_shingles": R.ORACLE_NGRAM,
         "ann_cosine_topk": R.ORACLE_ANN,
         "lang_id": R.ORACLE_LANG_ID,
+        "mime_class": R.ORACLE_MIME_CLASS,
         "simhash": R.ORACLE_SIMHASH,
         "minhash_bands": R.ORACLE_MINHASH,
         "embedding_neardup": R.ORACLE_EMBEDDING_NEARDUP,

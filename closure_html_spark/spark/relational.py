@@ -621,6 +621,62 @@ _LANG_STOPS = {
 }
 
 
+# deterministic per-doc filename extension for the mime classification
+# query: exercises exact lookup (html/jpg/xml/png/gif/css/txt/tif/jpe),
+# the reference's 3-char legacy fallback (htm -> html), and unknowns
+_MIME_EXT_CYCLE = ["html", "htm", "jpg", "xml", "png", "gif",
+                   "css", "txt", "tif", "jpe", "bin", "dat"]
+
+
+def q_mime_class(spark, sf_dir):
+    """Content-Type classification via the mime registry (mime.lisp:31-101
+    port, closure_html_spark/mime.py): per-document extension -> broadcast
+    join against the exact-extension table, then the reference's
+    3-character legacy-filesystem fallback, 'unknown' otherwise -- the
+    filter a crawl pipeline runs to keep text/html payloads.  Both lookup
+    tables are tiny broadcasts; no Python in the per-row path."""
+    from ..mime import mime_extension_tables
+    docs = _t(spark, sf_dir, "documents")
+    exact, legacy = mime_extension_tables(spark)
+    n = len(_MIME_EXT_CYCLE)
+    ext = F.element_at(F.lit(_MIME_EXT_CYCLE),
+                       (F.col("doc_id") % n).cast("int") + 1)
+    d = docs.select("doc_id", ext.alias("ext"))
+    joined = (d.join(F.broadcast(exact), "ext", "left")
+              .join(F.broadcast(legacy),
+                    (F.length("ext") == 3) & (F.col("ext") == F.col("pre")),
+                    "left"))
+    mime = F.coalesce("mime", "mime_l", F.lit("unknown"))
+    return (joined.groupBy(mime.alias("mime"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("mime"))
+
+
+def _mime_oracle_sql() -> str:
+    """DuckDB replay: the same registry maps embedded as VALUES lists."""
+    from ..mime import exact_extension_map, legacy_prefix_map
+    ex_vals = ", ".join(f"('{e}', '{m}')"
+                        for e, m in sorted(exact_extension_map().items()))
+    lg_vals = ", ".join(f"('{p}', '{m}')"
+                        for p, m in sorted(legacy_prefix_map().items()))
+    exts = ", ".join(f"'{e}'" for e in _MIME_EXT_CYCLE)
+    return f"""
+WITH m(ext, mime) AS (VALUES {ex_vals}),
+l(pre, mime_l) AS (VALUES {lg_vals}),
+d AS (SELECT doc_id,
+             ([{exts}])[CAST(doc_id % {len(_MIME_EXT_CYCLE)} AS INT) + 1]
+               AS ext
+      FROM documents)
+SELECT COALESCE(m.mime, l.mime_l, 'unknown') AS mime, COUNT(*) AS n_docs
+FROM d LEFT JOIN m ON d.ext = m.ext
+       LEFT JOIN l ON LENGTH(d.ext) = 3 AND d.ext = l.pre
+GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE_MIME_CLASS = _mime_oracle_sql()
+
+
 def q_lang_id(spark, sf_dir):
     """n-gram/stopword language-ID heuristic, fully JVM-side; the guess
     formula is ANSI-SQL so the oracle replays it exactly."""
