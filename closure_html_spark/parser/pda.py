@@ -36,6 +36,7 @@ from .tokenizer import (
     _SPECIAL,
     FastTokenizer,
     Tokenizer,
+    decode_pcdata_fast,
 )
 
 _DONE = object()       # production sentinel: input exhausted
@@ -315,14 +316,32 @@ def sgml_parse(dtd: Dtd, text: str, tokenizer: Tokenizer | None = None,
                                 warns_extend(ws)
                             i = end
                         else:
-                            w0 = len(tk.warnings)
-                            tk.i = i
-                            tok = tk.read_pcdata()
-                            i = tk.i
-                            see = ("S", PCDATA, tok[1])
-                            if len(raw) <= 256 and len(pcache) < 16384:
-                                pcache[raw] = (
-                                    see, tuple(tk.warnings[w0:]))
+                            # inline decode of the warning-free common
+                            # forms; the exact char machine handles the
+                            # rest (unknown names, no ';', overflow, EOF)
+                            dec = decode_pcdata_fast(raw, tk.entities)
+                            if dec is not None:
+                                see = ("S", PCDATA, dec)
+                                i = end
+                                if len(raw) <= 256 and len(pcache) < 16384:
+                                    pcache[raw] = (see, ())
+                            else:
+                                w0 = len(tk.warnings)
+                                tk.i = i
+                                tok = tk.read_pcdata()
+                                i = tk.i
+                                see = ("S", PCDATA, tok[1])
+                                # gaps ending in an INCOMPLETE reference
+                                # ('&', '&#', '&#x') warn differently at
+                                # EOF vs before '<' (read-entity-ref's EOF
+                                # branches), so their decode is not a pure
+                                # function of the raw gap -- never memoize
+                                if (len(raw) <= 256 and len(pcache) < 16384
+                                        and raw[-1] != "&"
+                                        and not raw.endswith("&#")
+                                        and not raw.endswith("&#x")):
+                                    pcache[raw] = (
+                                        see, tuple(tk.warnings[w0:]))
             if see is _DONE:
                 break
         kind = see[0]

@@ -45,7 +45,50 @@ _SLOOPY_NAME = re.compile(r"""[A-Za-z0-9.:\-%/~#_+?!@()'";,\[\]&]+""")
 _SLOOPY_VALUE = re.compile(r"""[A-Za-z0-9.:\-%/~#_+?!@()'";,\[\]&=]+""")
 _WS_RUN = re.compile(r"[ \t\n\r\x0c]*")
 
+# well-formed entity forms ONLY (name/decimal/lowercase-hex, terminated by
+# ';'): the warning-free subset of read-entity-ref that the fused parse
+# loop may decode inline; anything else falls back to the exact machine
+_FAST_ENTITY = re.compile(
+    r"([A-Za-z][A-Za-z0-9.:\-]*);|#([0-9]+);|#x([0-9A-Fa-f]+);")
+
 BAD_TAG = "##BAD TAG##"
+
+
+def decode_pcdata_fast(raw: str, entities: dict) -> str | None:
+    """Decode an entity-bearing pcdata gap IFF every '&' is a well-formed,
+    ';'-terminated reference to a known entity (or an in-range numeric):
+    exactly the cases where read_pcdata/read_entity_ref emit no warning
+    and consume the same span.  Returns None on anything unusual -- the
+    caller then runs the exact char machine, so warnings, terminator-less
+    references, overflow raws and `&#X`-style quirks keep bit-identical
+    behavior (differential fuzz pins this).  Entity values are appended
+    verbatim, never rescanned, matching read-entity-ref."""
+    i = raw.find("&")
+    parts = []
+    prev = 0
+    get = entities.get
+    match = _FAST_ENTITY.match
+    while i >= 0:
+        m = match(raw, i + 1)
+        if m is None:
+            return None
+        name = m.group(1)
+        if name is not None:
+            val = get(name)
+            if val is None:
+                return None
+        else:
+            dec = m.group(2)
+            num = int(dec) if dec is not None else int(m.group(3), 16)
+            if num > 0xFFFF:
+                return None
+            val = chr(num)
+        parts.append(raw[prev:i])
+        parts.append(val)
+        prev = m.end()
+        i = raw.find("&", prev)
+    parts.append(raw[prev:])
+    return "".join(parts)
 
 
 class _TagError(Exception):

@@ -48,12 +48,24 @@ def _extract_schema(df: DataFrame, id_cols: tuple[str, ...]) -> str:
 
 
 def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
-                  default_charset: str = "utf-8") -> DataFrame:
+                  default_charset: str = "utf-8",
+                  engine: str = "arrow") -> DataFrame:
     """Parse + extract every page.  Keeps `id_cols` as passthrough keys.
 
     If the input has a `content_type` column (WARC-style HTTP header), its
     charset parameter seeds the decoder; a <meta> charset still overrides
-    it, mirroring the reference's mid-stream decoder switch (charset.py)."""
+    it, mirroring the reference's mid-stream decoder switch (charset.py).
+
+    engine="arrow" (default) runs the stage as mapInArrow, assembling the
+    output columns directly as pyarrow buffers: strings go Python->Arrow
+    once, spans/warn_levels are built as ListArrays from flat primitive
+    arrays (no per-span dict objects), and id columns pass through
+    zero-copy from the input batch.  engine="pandas" keeps the round-2
+    mapInPandas path (object-dtype pandas -> Arrow re-conversion per
+    column) as the A/B baseline; results are identical
+    (tests/test_spark_pipeline_edge.py)."""
+    if engine == "arrow":
+        return _extract_pages_arrow(df, id_cols, default_charset)
     schema = _extract_schema(df, id_cols)
     has_ct = "content_type" in df.columns
     cols = list(id_cols) + ["html"] + (["content_type"] if has_ct else [])
@@ -101,6 +113,100 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
             yield pd.DataFrame(out)
 
     return (df.select(*cols).mapInPandas(fn, schema)
+            .withColumn("main_text", F.expr(_MAIN_TEXT_EXPR)))
+
+
+def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
+                         default_charset: str) -> DataFrame:
+    """mapInArrow body of extract_pages: output-column materialization is
+    the stage's dominant cost after the round-2 parser fusion (~3x parse
+    CPU, SCALE.md frontier #1), and most of it was pandas object-dtype
+    round-tripping.  Here every result column is assembled once, directly
+    in Arrow layout."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    schema = _extract_schema(df, id_cols)
+    # resolved on the driver (needs the JVM DDL parser); captured by fn
+    arrow_schema = to_arrow_schema(StructType.fromDDL(schema))
+    has_ct = "content_type" in df.columns
+    # id columns in the order _extract_schema declares them (df order)
+    ids = [name for name, _ in df.dtypes if name in id_cols]
+    cols = ids + ["html"] + (["content_type"] if has_ct else [])
+    i32 = pa.int32()
+
+    def fn(batches):
+        dtd = load_dtd()
+        for batch in batches:
+            htmls = batch.column("html").to_pylist()
+            cts = (batch.column("content_type").to_pylist()
+                   if has_ct else None)
+            n = len(htmls)
+            titles, texts, charsets = [], [], []
+            n_nodes, n_warns = [], []
+            # spans + warn_levels as flat child arrays + offsets: the
+            # ListArray/StructArray build is one memcpy-style pass, no
+            # per-span Python dicts
+            sp_off = [0]
+            sp_start, sp_end, sp_score, sp_keep = [], [], [], []
+            wl_flat = []
+            for idx in range(n):
+                try:
+                    text, cs = decode_html(
+                        bytes(htmls[idx]), default_charset,
+                        cts[idx] if cts is not None else None)
+                    doc = parse_html(dtd, text)
+                    res = extract_main_content(doc, dtd)
+                    titles.append(res["title"])
+                    texts.append(res["extracted_text"])
+                    for s, e, sc, k in res["spans"]:
+                        sp_start.append(s)
+                        sp_end.append(e)
+                        sp_score.append(sc)
+                        sp_keep.append(k)
+                    sp_off.append(len(sp_start))
+                    n_nodes.append(len(doc.name))
+                    n_warns.append(len(doc.warnings))
+                    lv = [0, 0, 0, 0, 0]
+                    for level, _ in doc.warnings:
+                        if 1 <= level <= 5:
+                            lv[level - 1] += 1
+                    wl_flat.extend(lv)
+                    charsets.append(cs)
+                except Exception as exc:  # never kill the batch for one doc
+                    titles.append("")
+                    texts.append("")
+                    sp_off.append(len(sp_start))
+                    n_nodes.append(0)
+                    n_warns.append(-1)
+                    wl_flat.extend((0, 0, 0, 0, 0))
+                    charsets.append(f"error:{type(exc).__name__}")
+            spans_arr = pa.ListArray.from_arrays(
+                pa.array(sp_off, i32),
+                pa.StructArray.from_arrays(
+                    [pa.array(sp_start, i32), pa.array(sp_end, i32),
+                     pa.array(sp_score, pa.float64()),
+                     pa.array(sp_keep, pa.bool_())],
+                    names=["start", "end", "score", "keep"]))
+            wl_arr = pa.ListArray.from_arrays(
+                pa.array(range(0, 5 * n + 5, 5), i32),
+                pa.array(wl_flat, i32))
+            arrays = ([batch.column(c) for c in ids] +  # zero-copy ids
+                      [pa.array(titles, pa.string()),
+                       pa.array(texts, pa.string()),
+                       spans_arr,
+                       pa.array(n_nodes, i32),
+                       pa.array(n_warns, i32),
+                       wl_arr,
+                       pa.array(charsets, pa.string())])
+            out = pa.RecordBatch.from_arrays(arrays,
+                                             names=arrow_schema.names)
+            # nested field names differ only cosmetically (item vs
+            # element); cast is metadata-level, buffers are shared
+            yield out.cast(arrow_schema, safe=False)
+
+    return (df.select(*cols).mapInArrow(fn, schema)
             .withColumn("main_text", F.expr(_MAIN_TEXT_EXPR)))
 
 

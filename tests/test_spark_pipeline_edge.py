@@ -7,6 +7,24 @@ from pyspark.sql import functions as F
 from closure_html_spark.spark.pipeline import extract_pages
 
 
+def test_arrow_engine_identical_to_pandas(spark):
+    """engine='arrow' (mapInArrow, direct pyarrow column assembly -- the
+    default) must be value-identical to the round-2 mapInPandas baseline,
+    including the error row path and content_type handling."""
+    rows = [("u0", bytearray(b"<html><body><p>a &amp; b</p></body></html>"),
+             "text/html; charset=utf-8"),
+            ("u1", bytearray("<p>caf\xe9".encode("latin-1")),
+             "text/html; charset=latin-1"),
+            ("u2", bytearray(b""), None),
+            ("u3", bytearray(b"<table><td>x<ul>soup"), None)]
+    df = spark.createDataFrame(
+        rows, "url string, html binary, content_type string")
+    a = extract_pages(df, engine="arrow").orderBy("url").collect()
+    p = extract_pages(df, engine="pandas").orderBy("url").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in p]
+    assert a[1]["extracted_text"] == "caf\xe9"
+
+
 def test_20mb_document_mixed_with_small(spark):
     big_body = ("<p>" + "big document content word soup " * 200 + "</p>") * 3200
     big = ("<html><head><title>Big</title></head><body>" + big_body

@@ -71,3 +71,41 @@ def test_full_parse_serialization_identical():
         post_mortem_fix_top_level(doc)
         slow = serialize_doc(doc, DTD)
         assert fast == slow, fx
+
+
+def test_fused_warning_multiset_identical():
+    """Entity-heavy differential: fused (memo + inline fast decode) vs the
+    reference twin must agree on serialization AND on the warning multiset
+    (fused interleaves tokenizer/PDA warnings in stream order, so exact
+    order is not pinned -- content and counts are)."""
+    from collections import Counter
+
+    from closure_html_spark.parser.pda import _sgml_parse_ref
+    random.seed(7)
+    frag = ["&amp;", "&lt;", "&bogus;", "&#65;", "&#x41;", "&#999999;",
+            "&", "&amp", "<b>", "</b>", "x", " ", "²", "&#x2F;", "&copy",
+            ";", "&nb", "<p>", "</p>", "&#", "&#x"]
+    for _ in range(3000):
+        fx = "".join(random.choices(frag, k=random.randint(1, 30)))
+        d1 = sgml_parse(DTD, fx)
+        d2 = _sgml_parse_ref(DTD, fx, Tokenizer(fx, DTD.entities))
+        assert serialize_doc(d1, DTD) == serialize_doc(d2, DTD), fx
+        assert Counter(d1.warnings) == Counter(d2.warnings), fx
+
+
+def test_pcdata_memo_not_poisoned_by_context():
+    """Regression (round-3 find): a gap ending in an INCOMPLETE entity
+    ('&', '&#', '&#x') warns differently before '<' vs at EOF; the round-2
+    gap memo keyed on raw text alone replayed the first-seen warning for
+    both contexts.  Such gaps must bypass the memo."""
+    dtd = load_dtd()
+    for mid, eof_warn, mid_warn in [
+        ("a&", "EOF in entity", "after '&'"),
+        ("a&#", "EOF in entity", "Bad character after '&#'"),
+        ("a&#x", "EOF after '&#x'", "after '&#x'"),
+    ]:
+        # same raw gap, '<' context first, then EOF context (and reversed)
+        d1 = sgml_parse(dtd, f"{mid}<b>x")
+        d2 = sgml_parse(dtd, mid)
+        assert any(mid_warn in m for _, m in d1.warnings), (mid, d1.warnings)
+        assert any(eof_warn in m for _, m in d2.warnings), (mid, d2.warnings)
