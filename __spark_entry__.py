@@ -125,7 +125,10 @@ def _q_warn_histogram(spark, sf_dir):
     warning channel as aggregable counters.  Variant templates 1-3 contain
     deliberate tag soup, so levels 3/4 are non-zero."""
     pages = pages_from_documents(spark, sf_dir, tile=4, variants=4)
-    ext = extract_pages(pages, id_cols=("doc_id",))
+    # metadata-only projection: skips building/transferring the text
+    # payload inside the Python stage (column pruning can't reach there)
+    ext = extract_pages(pages, id_cols=("doc_id",),
+                        columns=("warn_levels",))
     return (ext.select(F.posexplode("warn_levels").alias("level0", "n"))
             .groupBy((F.col("level0") + 1).alias("level"))
             .agg(F.sum("n").alias("n_warnings"))

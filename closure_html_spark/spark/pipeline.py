@@ -25,11 +25,20 @@ from ..parser.charset import decode_html
 from ..parser.pda import parse_html, sgml_parse
 from ..serialize import serialize_doc
 
-EXTRACT_RESULT_COLS = (
-    "title string, extracted_text string, "
-    "spans array<struct<start:int,end:int,score:double,keep:boolean>>, "
-    "n_nodes int, n_warns int, warn_levels array<int>, charset string"
-)
+# result columns in declaration order; a `columns=` subset of these keys
+# lets metadata-only consumers skip building AND transferring the text
+# payload (the dominant stage cost -- SCALE.md frontier #1)
+RESULT_COL_DDL = {
+    "title": "string",
+    "extracted_text": "string",
+    "spans": "array<struct<start:int,end:int,score:double,keep:boolean>>",
+    "n_nodes": "int",
+    "n_warns": "int",
+    "warn_levels": "array<int>",
+    "charset": "string",
+}
+
+EXTRACT_RESULT_COLS = ", ".join(f"{k} {v}" for k, v in RESULT_COL_DDL.items())
 
 # main_text reassembled JVM-side from kept spans: the text bytes cross the
 # Python->Arrow boundary once (extracted_text), not twice
@@ -49,7 +58,8 @@ def _extract_schema(df: DataFrame, id_cols: tuple[str, ...]) -> str:
 
 def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                   default_charset: str = "utf-8",
-                  engine: str = "arrow") -> DataFrame:
+                  engine: str = "arrow",
+                  columns: tuple[str, ...] | None = None) -> DataFrame:
     """Parse + extract every page.  Keeps `id_cols` as passthrough keys.
 
     If the input has a `content_type` column (WARC-style HTTP header), its
@@ -63,9 +73,20 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
     zero-copy from the input batch.  engine="pandas" keeps the round-2
     mapInPandas path (object-dtype pandas -> Arrow re-conversion per
     column) as the A/B baseline; results are identical
-    (tests/test_spark_pipeline_edge.py)."""
+    (tests/test_spark_pipeline_edge.py).
+
+    columns: optional subset of RESULT_COL_DDL keys -- the metadata-now /
+    text-lazily split.  Column pruning cannot reach inside a Python map
+    stage, so a monitoring query selecting only warn_levels would still
+    pay the full text build + Arrow transfer; passing
+    columns=("warn_levels",) skips building the text payload entirely
+    (and skips the span scorer when no text column is requested).
+    main_text is only attached when extracted_text AND spans are present.
+    Requires engine="arrow"."""
+    if columns is not None and engine != "arrow":
+        raise ValueError("columns= projection requires engine='arrow'")
     if engine == "arrow":
-        return _extract_pages_arrow(df, id_cols, default_charset)
+        return _extract_pages_arrow(df, id_cols, default_charset, columns)
     schema = _extract_schema(df, id_cols)
     has_ct = "content_type" in df.columns
     cols = list(id_cols) + ["html"] + (["content_type"] if has_ct else [])
@@ -117,22 +138,35 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
 
 
 def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
-                         default_charset: str) -> DataFrame:
+                         default_charset: str,
+                         columns: tuple[str, ...] | None = None) -> DataFrame:
     """mapInArrow body of extract_pages: output-column materialization is
     the stage's dominant cost after the round-2 parser fusion (~3x parse
     CPU, SCALE.md frontier #1), and most of it was pandas object-dtype
     round-tripping.  Here every result column is assembled once, directly
-    in Arrow layout."""
+    in Arrow layout; a `columns` subset skips unrequested payloads."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructType
 
-    schema = _extract_schema(df, id_cols)
+    if columns is None:
+        wanted = tuple(RESULT_COL_DDL)
+    else:
+        unknown = set(columns) - set(RESULT_COL_DDL)
+        if unknown:
+            raise ValueError(f"unknown result columns: {sorted(unknown)}")
+        wanted = tuple(k for k in RESULT_COL_DDL if k in columns)
+    # the span scorer only runs when some text-derived column is requested
+    need_extract = bool({"title", "extracted_text", "spans"} & set(wanted))
+
+    # id columns in the order the input declares them, then result subset
+    ids = [name for name, _ in df.dtypes if name in id_cols]
+    id_ddl = ", ".join(f"{n} {t}" for n, t in df.dtypes if n in id_cols)
+    schema = id_ddl + ", " + ", ".join(
+        f"{k} {RESULT_COL_DDL[k]}" for k in wanted)
     # resolved on the driver (needs the JVM DDL parser); captured by fn
     arrow_schema = to_arrow_schema(StructType.fromDDL(schema))
     has_ct = "content_type" in df.columns
-    # id columns in the order _extract_schema declares them (df order)
-    ids = [name for name, _ in df.dtypes if name in id_cols]
     cols = ids + ["html"] + (["content_type"] if has_ct else [])
     i32 = pa.int32()
 
@@ -157,15 +191,16 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
                         bytes(htmls[idx]), default_charset,
                         cts[idx] if cts is not None else None)
                     doc = parse_html(dtd, text)
-                    res = extract_main_content(doc, dtd)
-                    titles.append(res["title"])
-                    texts.append(res["extracted_text"])
-                    for s, e, sc, k in res["spans"]:
-                        sp_start.append(s)
-                        sp_end.append(e)
-                        sp_score.append(sc)
-                        sp_keep.append(k)
-                    sp_off.append(len(sp_start))
+                    if need_extract:
+                        res = extract_main_content(doc, dtd)
+                        titles.append(res["title"])
+                        texts.append(res["extracted_text"])
+                        for s, e, sc, k in res["spans"]:
+                            sp_start.append(s)
+                            sp_end.append(e)
+                            sp_score.append(sc)
+                            sp_keep.append(k)
+                        sp_off.append(len(sp_start))
                     n_nodes.append(len(doc.name))
                     n_warns.append(len(doc.warnings))
                     lv = [0, 0, 0, 0, 0]
@@ -182,32 +217,41 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
                     n_warns.append(-1)
                     wl_flat.extend((0, 0, 0, 0, 0))
                     charsets.append(f"error:{type(exc).__name__}")
-            spans_arr = pa.ListArray.from_arrays(
-                pa.array(sp_off, i32),
-                pa.StructArray.from_arrays(
-                    [pa.array(sp_start, i32), pa.array(sp_end, i32),
-                     pa.array(sp_score, pa.float64()),
-                     pa.array(sp_keep, pa.bool_())],
-                    names=["start", "end", "score", "keep"]))
-            wl_arr = pa.ListArray.from_arrays(
-                pa.array(range(0, 5 * n + 5, 5), i32),
-                pa.array(wl_flat, i32))
+            built = {}
+            if "title" in wanted:
+                built["title"] = pa.array(titles, pa.string())
+            if "extracted_text" in wanted:
+                built["extracted_text"] = pa.array(texts, pa.string())
+            if "spans" in wanted:
+                built["spans"] = pa.ListArray.from_arrays(
+                    pa.array(sp_off, i32),
+                    pa.StructArray.from_arrays(
+                        [pa.array(sp_start, i32), pa.array(sp_end, i32),
+                         pa.array(sp_score, pa.float64()),
+                         pa.array(sp_keep, pa.bool_())],
+                        names=["start", "end", "score", "keep"]))
+            if "n_nodes" in wanted:
+                built["n_nodes"] = pa.array(n_nodes, i32)
+            if "n_warns" in wanted:
+                built["n_warns"] = pa.array(n_warns, i32)
+            if "warn_levels" in wanted:
+                built["warn_levels"] = pa.ListArray.from_arrays(
+                    pa.array(range(0, 5 * n + 5, 5), i32),
+                    pa.array(wl_flat, i32))
+            if "charset" in wanted:
+                built["charset"] = pa.array(charsets, pa.string())
             arrays = ([batch.column(c) for c in ids] +  # zero-copy ids
-                      [pa.array(titles, pa.string()),
-                       pa.array(texts, pa.string()),
-                       spans_arr,
-                       pa.array(n_nodes, i32),
-                       pa.array(n_warns, i32),
-                       wl_arr,
-                       pa.array(charsets, pa.string())])
+                      [built[k] for k in wanted])
             out = pa.RecordBatch.from_arrays(arrays,
                                              names=arrow_schema.names)
             # nested field names differ only cosmetically (item vs
             # element); cast is metadata-level, buffers are shared
             yield out.cast(arrow_schema, safe=False)
 
-    return (df.select(*cols).mapInArrow(fn, schema)
-            .withColumn("main_text", F.expr(_MAIN_TEXT_EXPR)))
+    result = df.select(*cols).mapInArrow(fn, schema)
+    if "extracted_text" in wanted and "spans" in wanted:
+        result = result.withColumn("main_text", F.expr(_MAIN_TEXT_EXPR))
+    return result
 
 
 def serialize_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),

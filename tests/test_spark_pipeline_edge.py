@@ -25,6 +25,25 @@ def test_arrow_engine_identical_to_pandas(spark):
     assert a[1]["extracted_text"] == "caf\xe9"
 
 
+def test_columns_projection_matches_full(spark):
+    """columns= (metadata-now / text-lazily) must return exactly the full
+    run's values for the requested columns, with ONLY those columns in
+    the schema (the point: the text payload never enters the batch)."""
+    rows = [(f"u{i}", bytearray(
+        f"<html><body><p>doc {i} &amp; more</p><unknowntag></body></html>"
+        .encode())) for i in range(50)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    full = extract_pages(df).orderBy("url") \
+        .select("url", "n_nodes", "n_warns", "warn_levels").collect()
+    proj = extract_pages(
+        df, columns=("n_nodes", "n_warns", "warn_levels")).orderBy("url")
+    assert set(proj.columns) == {"url", "n_nodes", "n_warns", "warn_levels"}
+    assert [tuple(r) for r in proj.collect()] == [tuple(r) for r in full]
+    # title-only still attaches no main_text (needs text+spans)
+    t = extract_pages(df, columns=("title", "charset"))
+    assert set(t.columns) == {"url", "title", "charset"}
+
+
 def test_20mb_document_mixed_with_small(spark):
     big_body = ("<p>" + "big document content word soup " * 200 + "</p>") * 3200
     big = ("<html><head><title>Big</title></head><body>" + big_body
