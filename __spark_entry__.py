@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": R.q_fingerprint,
         "winnow_fingerprint": R.q_winnow_fingerprint,
         "ngram_shingles": R.q_ngram_shingles,
+        "jaccard_pairs": R.q_jaccard_pairs,
         "ann_cosine_topk": R.q_ann_cosine_topk,
         "ann_lsh_topk": R.q_ann_lsh_topk,
         "minhash_bands": R.q_minhash_bands,
@@ -286,6 +287,7 @@ SELECT * FROM (
         "fingerprint": R.ORACLE_FINGERPRINT,
         "winnow_fingerprint": R.ORACLE_WINNOW,
         "ngram_shingles": R.ORACLE_NGRAM,
+        "jaccard_pairs": R.ORACLE_JACCARD_PAIRS,
         "ann_cosine_topk": R.ORACLE_ANN,
         "lang_id": R.ORACLE_LANG_ID,
         "mime_class": R.ORACLE_MIME_CLASS,

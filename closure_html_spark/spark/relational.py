@@ -340,6 +340,75 @@ FROM w WHERE LEN(ws) >= 3 ORDER BY doc_id
 """
 
 
+def q_jaccard_pairs(spark, sf_dir, threshold: float = 0.5,
+                    max_df: int = 50):
+    """Exact word-trigram Jaccard near-duplicate pairs -- the exact
+    counterpart MinHash approximates -- via an INVERTED SHINGLE INDEX:
+    docs join only on shingles they share, never all-pairs.
+
+    Scale shape: candidate volume = sum over shingles of df^2, bounded by
+    the `max_df` document-frequency cap (a shingle appearing in more than
+    max_df docs carries no dedup signal and would otherwise quadratically
+    dominate the join -- the standard hot-token guard).  Jaccard is
+    computed over the df-capped shingle space for both numerator and
+    sizes, so J is exact within that space and the DuckDB oracle replays
+    it bit-for-bit.  At this corpus max df is 7, so the cap keeps every
+    shingle and J is the true Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    sh = _shingles(docs.filter(F.size(words) >= 3)) \
+        .select("doc_id", "tri").distinct()
+    keep = (sh.groupBy("tri")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("tri"))
+    sh = sh.join(keep, "tri")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "tri")
+    b = sh.select(F.col("doc_id").alias("b_id"), "tri")
+    shared = (a.join(b, "tri")
+              .filter(F.col("a_id") < F.col("b_id"))
+              .groupBy("a_id", "b_id")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sb"))
+    return (shared.join(sa, "a_id").join(sb, "b_id")
+            .select("a_id", "b_id",
+                    F.round(F.col("shared") /
+                            (F.col("sa") + F.col("sb") - F.col("shared")),
+                            6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+            .orderBy("a_id", "b_id"))
+
+
+ORACLE_JACCARD_PAIRS = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ws
+  FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, tri
+  FROM w, UNNEST([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                  FOR i IN range(1, LEN(ws) - 1)]) AS t(tri)
+  WHERE LEN(ws) >= 3
+),
+keep AS (SELECT tri FROM sh0 GROUP BY tri HAVING COUNT(*) <= 50),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (tri)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+  FROM sh a JOIN sh b USING (tri)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT s.a_id, s.b_id, ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.a_id
+JOIN sizes sb ON sb.doc_id = s.b_id
+WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.5
+ORDER BY a_id, b_id
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir, k: int = 5, n_queries: int = 3):
     """Brute-force cosine top-k similarity search -- the exact baseline for
     ANN.  Query vectors = embeddings with vec_id < n_queries; crossJoin with
