@@ -54,9 +54,13 @@ def hw_speed(n_procs: int) -> float:
     """Aggregate busy-loop iterations across n_procs for 1s: samples the
     VM's CURRENT effective CPU capacity at that concurrency (this box's
     throughput decays under sustained load and recovers after idle, so
-    each timed leg is calibrated immediately before it runs)."""
+    each timed leg is calibrated immediately before it runs).  Best of two
+    samples -- a single 1s sample can catch a throttle edge and invert
+    the normalization."""
     with mp.Pool(n_procs) as p:
-        return float(sum(p.map(_burn, range(n_procs))))
+        a = float(sum(p.map(_burn, range(n_procs))))
+        b = float(sum(p.map(_burn, range(n_procs))))
+    return max(a, b)
 
 
 def run_extraction(n_threads: int) -> dict:

@@ -409,18 +409,29 @@ ORDER BY a_id, b_id
 """
 
 
+def _dot_expr(a, b, dim: int = 64):
+    """Explicit element_at dot product: zip_with/aggregate lambdas are
+    INTERPRETED per element (Spark does not codegen higher-order
+    functions), which dominates hot pair paths (~10^6+ rows x 64 terms);
+    the unrolled sum stays in whole-stage codegen.  Left-associated from
+    0.0, so the float result is bit-identical to the aggregate fold and
+    to DuckDB's list_dot_product."""
+    dot = F.lit(0.0)
+    for i in range(1, dim + 1):
+        dot = dot + (F.element_at(a, i).cast("double") *
+                     F.element_at(b, i).cast("double"))
+    return dot
+
+
 def q_ann_cosine_topk(spark, sf_dir, k: int = 5, n_queries: int = 3):
     """Brute-force cosine top-k similarity search -- the exact baseline for
     ANN.  Query vectors = embeddings with vec_id < n_queries; crossJoin with
-    broadcast query side, dot product via JVM-side zip_with/aggregate."""
+    broadcast query side, codegen'd unrolled dot product."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = (emb.filter(F.col("vec_id") < n_queries)
           .select(F.col("vec_id").alias("q_id"),
                   F.col("embedding").alias("q_emb")))
-    dot = F.aggregate(
-        F.zip_with(F.col("q_emb"), F.col("embedding"),
-                   lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
+    dot = _dot_expr(F.col("q_emb"), F.col("embedding"))
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
@@ -856,18 +867,17 @@ def q_embedding_neardup(spark, sf_dir, threshold: float = 0.4):
     """Embedding-cosine near-duplicate pairs (i<j, cosine >= threshold):
     the exact-similarity complement to MinHash for semantic dedup."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"),
-                   F.col("embedding").alias("a_emb"))
-    b = emb.select(F.col("vec_id").alias("b_id"),
-                   F.col("embedding").alias("b_emb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("a_emb"), F.col("b_emb"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
-    sim = F.round(dot / (norm(F.col("a_emb")) * norm(F.col("b_emb"))), 6)
+    a = emb.select(F.col("vec_id").alias("a_id"),
+                   F.col("embedding").alias("a_emb"),
+                   norm(F.col("embedding")).alias("a_norm"))
+    b = emb.select(F.col("vec_id").alias("b_id"),
+                   F.col("embedding").alias("b_emb"),
+                   norm(F.col("embedding")).alias("b_norm"))
+    dot = _dot_expr(F.col("a_emb"), F.col("b_emb"))
+    sim = F.round(dot / (F.col("a_norm") * F.col("b_norm")), 6)
     return (a.crossJoin(b)
             .filter(F.col("a_id") < F.col("b_id"))
             .select("a_id", "b_id", sim.alias("sim"))
@@ -974,18 +984,20 @@ def q_embedding_neardup_lsh(spark, sf_dir, threshold: float = 0.4,
              .filter(F.col("a_id") < F.col("b_id"))
              .select("a_id", "b_id")
              .dropDuplicates(["a_id", "b_id"]))      # ANY-band semantics
-    ea = emb.select(F.col("vec_id").alias("a_id"),
-                    F.col("embedding").alias("a_emb"))
-    eb = emb.select(F.col("vec_id").alias("b_id"),
-                    F.col("embedding").alias("b_emb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("a_emb"), F.col("b_emb"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
+    # norms precomputed ONCE per vector (zip_with/aggregate lambdas are
+    # interpreted, not codegen'd -- per-PAIR norm evaluation tripled the
+    # rerank cost); the pair rows then carry one dot product each
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
-    sim = F.round(dot / (norm(F.col("a_emb")) * norm(F.col("b_emb"))), 6)
+    ea = emb.select(F.col("vec_id").alias("a_id"),
+                    F.col("embedding").alias("a_emb"),
+                    norm(F.col("embedding")).alias("a_norm"))
+    eb = emb.select(F.col("vec_id").alias("b_id"),
+                    F.col("embedding").alias("b_emb"),
+                    norm(F.col("embedding")).alias("b_norm"))
+    dot = _dot_expr(F.col("a_emb"), F.col("b_emb"))
+    sim = F.round(dot / (F.col("a_norm") * F.col("b_norm")), 6)
     return (pairs.join(ea, "a_id").join(eb, "b_id")  # rerank on candidates
             .select("a_id", "b_id", sim.alias("sim"))
             .filter(F.col("sim") >= threshold)
@@ -1017,17 +1029,18 @@ def q_ann_lsh_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
              .filter(F.col("vec_id") != F.col("q_id"))
              .select("q_id", "vec_id")
              .dropDuplicates(["q_id", "vec_id"]))
-    eq = emb.select(F.col("vec_id").alias("q_id"),
-                    F.col("embedding").alias("q_emb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("q_emb"), F.col("embedding"),
-                   lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
+    # norms once per vector, not per candidate row (interpreted HOFs)
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
-    sim = F.round(dot / (norm(F.col("q_emb")) * norm(F.col("embedding"))), 6)
-    scored = (cands.join(F.broadcast(eq), "q_id").join(emb, "vec_id")
+    eq = emb.select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_emb"),
+                    norm(F.col("embedding")).alias("q_norm"))
+    ev = emb.select("vec_id", "embedding",
+                    norm(F.col("embedding")).alias("v_norm"))
+    dot = _dot_expr(F.col("q_emb"), F.col("embedding"))
+    sim = F.round(dot / (F.col("q_norm") * F.col("v_norm")), 6)
+    scored = (cands.join(F.broadcast(eq), "q_id").join(ev, "vec_id")
               .select("q_id", "vec_id", sim.alias("sim")))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
     return (scored.withColumn("rnk", F.row_number().over(w))
