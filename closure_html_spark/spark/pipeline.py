@@ -257,26 +257,32 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
 def serialize_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                     default_charset: str = "utf-8") -> DataFrame:
     """Parse + re-serialize every page to canonical escaped HTML
-    (the reference's clean-html round trip, doc/examples.xml:60-77)."""
+    (the reference's clean-html round trip, doc/examples.xml:60-77).
+    mapInArrow: html_out is the largest string column in the system
+    (~1x input), so it goes Python->Arrow exactly once; ids zero-copy."""
+    import pyarrow as pa
+
+    ids = [name for name, _ in df.dtypes if name in id_cols]
     id_fields = ", ".join(f"{n} {t}" for n, t in df.dtypes if n in id_cols)
     schema = id_fields + ", html_out string"
-    cols = list(id_cols) + ["html"]
+    cols = ids + ["html"]
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches):
         dtd = load_dtd()
-        for pdf in batches:
-            out = {c: pdf[c] for c in id_cols}
+        for batch in batches:
             outs = []
-            for raw in pdf["html"]:
+            for raw in batch.column("html").to_pylist():
                 try:
                     text, _ = decode_html(bytes(raw), default_charset)
                     outs.append(serialize_doc(parse_html(dtd, text), dtd))
                 except Exception:
                     outs.append("")
-            out["html_out"] = outs
-            yield pd.DataFrame(out)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(c) for c in ids]
+                + [pa.array(outs, pa.string())],
+                names=ids + ["html_out"])
 
-    return df.select(*cols).mapInPandas(fn, schema)
+    return df.select(*cols).mapInArrow(fn, schema)
 
 
 def nodes_of(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
