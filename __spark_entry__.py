@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": R.q_jaccard_pairs,
         "ann_cosine_topk": R.q_ann_cosine_topk,
         "ann_lsh_topk": R.q_ann_lsh_topk,
+        "ann_ivf_topk": R.q_ann_ivf_topk,
         "minhash_bands": R.q_minhash_bands,
         "lang_id": R.q_lang_id,
         "mime_class": R.q_mime_class,
@@ -299,6 +300,7 @@ SELECT * FROM (
         # oracle matches lsh_band_bits(500) at the driver's sf0.01 gate
         "embedding_neardup_lsh": R.ORACLE_EMBEDDING_NEARDUP_LSH,
         "ann_lsh_topk": R.ORACLE_ANN_LSH,
+        "ann_ivf_topk": R.ORACLE_ANN_IVF,
         "media_decode": ORACLE_MEDIA_DECODE,
         "media_meta": ORACLE_MEDIA_META,
     }

@@ -1140,6 +1140,133 @@ ORACLE_EMBEDDING_NEARDUP_LSH = _embedding_neardup_lsh_oracle_sql()
 ORACLE_ANN_LSH = _ann_lsh_oracle_sql()
 
 
+def q_ann_ivf_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
+                   n_cells: int = 16, n_probe: int = 4):
+    """IVF-Flat approximate top-k: the coarse-quantizer counterpart to the
+    RHP-LSH path.  Vectors partition into n_cells Voronoi cells around
+    DETERMINISTIC sampled centroids (every ceil(N/n_cells)-th vec_id --
+    no RNG, so the DuckDB oracle replays the whole index bit-for-bit); a
+    query scans only its n_probe nearest cells, i.e. ~n_probe/n_cells of
+    the corpus instead of an O(N) scan.
+
+    Scale shape: the build-side assignment is one broadcast of n_cells
+    centroids x a partial-aggregating max(struct(sim, -c_id)) groupBy --
+    map-side combined, no window over the N x n_cells pair rows; probes
+    and rerank touch only candidate cells.  At 10^9 vectors n_cells
+    should grow to ~sqrt(N) (cell occupancy sqrt(N)); the sizing concern
+    mirrors lsh_band_bits and is documented in SCALE.md."""
+    import math
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    step = max(1, math.ceil(n / n_cells))
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cents = (emb.filter(F.col("vec_id") % step == 0)
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("c_emb"),
+                     norm(F.col("embedding")).alias("c_norm")))
+    ev = emb.select("vec_id", "embedding",
+                    norm(F.col("embedding")).alias("v_norm"))
+    sim_c = F.round(_dot_expr(F.col("embedding"), F.col("c_emb")) /
+                    (F.col("v_norm") * F.col("c_norm")), 6)
+    pairs = (ev.crossJoin(F.broadcast(cents))
+             .select("vec_id", "c_id", sim_c.alias("sim_c")))
+    # nearest centroid via max(struct(sim, -c_id)): partial agg (map-side
+    # combine), deterministic tie-break to the smallest centroid id
+    cells = (pairs.groupBy("vec_id")
+             .agg(F.max(F.struct(F.col("sim_c").alias("s"),
+                                 (-F.col("c_id")).alias("nc"))).alias("m"))
+             .select("vec_id", (-F.col("m.nc")).alias("cell")))
+    wq = Window.partitionBy("q_id").orderBy(F.desc("sim_c"), "c_id")
+    probes = (pairs.filter(F.col("vec_id") < n_queries)
+              .select(F.col("vec_id").alias("q_id"), "c_id", "sim_c")
+              .withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= n_probe)
+              .select("q_id", F.col("c_id").alias("cell")))
+    cand = (F.broadcast(probes).join(cells, "cell")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id"))   # cells are disjoint: no dup pairs
+    eq = emb.select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_emb"),
+                    norm(F.col("embedding")).alias("q_norm"))
+    sim = F.round(_dot_expr(F.col("q_emb"), F.col("embedding")) /
+                  (F.col("q_norm") * F.col("v_norm")), 6)
+    scored = (cand.join(F.broadcast(eq), "q_id").join(ev, "vec_id")
+              .select("q_id", "vec_id", sim.alias("sim")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("q_id", "vec_id", "sim", "rnk")
+            .orderBy("q_id", "rnk"))
+
+
+_IVF_COS = ("ROUND(list_dot_product({a}.embedding::DOUBLE[], "
+            "{b}.embedding::DOUBLE[]) / "
+            "(sqrt(list_dot_product({a}.embedding::DOUBLE[], "
+            "{a}.embedding::DOUBLE[])) * "
+            "sqrt(list_dot_product({b}.embedding::DOUBLE[], "
+            "{b}.embedding::DOUBLE[]))), 6)")
+
+
+def _ann_ivf_oracle_sql(k: int = 5, n_queries: int = 3, n_cells: int = 16,
+                        n_probe: int = 4) -> str:
+    """DuckDB replay of q_ann_ivf_topk: same sampled centroids (the step
+    arithmetic runs in SQL), same cosine rounding, same tie-breaks."""
+    sim_ec = _IVF_COS.format(a="e", b="c")
+    sim_qv = _IVF_COS.format(a="eq", b="ev")
+    return f"""
+WITH stepv AS (
+  SELECT CAST(CEIL(COUNT(*) / {n_cells}.0) AS BIGINT) AS step
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS c_id, embedding
+  FROM embeddings WHERE vec_id % (SELECT GREATEST(step, 1) FROM stepv) = 0
+),
+sims AS (
+  SELECT e.vec_id, c.c_id, {sim_ec} AS sim_c
+  FROM embeddings e CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT vec_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim_c DESC, c_id) AS rn
+    FROM sims) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, c_id AS cell FROM (
+    SELECT vec_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim_c DESC, c_id) AS rn
+    FROM sims WHERE vec_id < {n_queries}) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.q_id, a.vec_id
+  FROM probes p JOIN cells a USING (cell)
+  WHERE a.vec_id <> p.q_id
+),
+scored AS (
+  SELECT cd.q_id, cd.vec_id, {sim_qv} AS sim
+  FROM cand cd
+  JOIN embeddings eq ON eq.vec_id = cd.q_id
+  JOIN embeddings ev ON ev.vec_id = cd.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY sim DESC, vec_id) AS INT) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= {k}
+ORDER BY q_id, rnk
+"""
+
+
+ORACLE_ANN_IVF = _ann_ivf_oracle_sql()
+
+
 def q_winnow_fingerprint(spark, sf_dir, k: int = 8, w: int = 16):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
     rolling k-gram hashes, keep the minimum of every w-window, distinct.

@@ -102,3 +102,16 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
              for r in R.q_ann_cosine_topk(spark, SF_DIR, k=5).collect()}
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """The IVF coarse-quantizer path scans n_probe/n_cells of the corpus;
+    with 4/16 cells on this corpus it must still recover a meaningful
+    share of the exact top-k (near vectors co-cluster)."""
+    from closure_html_spark.spark import relational as R
+    ivf = {(r["q_id"], r["vec_id"])
+           for r in R.q_ann_ivf_topk(spark, SF_DIR, k=5).collect()}
+    exact = {(r["q_id"], r["vec_id"])
+             for r in R.q_ann_cosine_topk(spark, SF_DIR, k=5).collect()}
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
