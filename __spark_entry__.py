@@ -135,6 +135,22 @@ def _q_warn_histogram(spark, sf_dir):
             .orderBy("level"))
 
 
+def _q_extract_links(spark, sf_dir):
+    """Outlink extraction -- the crawl-frontier feed: hrefs of <A> nodes
+    from the parsed DOM, via the exploded nodes table's attrs map.
+    Template 0 pages carry exactly three links (/, /about, /c), so the
+    oracle is closed-form and breaks loudly on any attr-parsing drift."""
+    pages = pages_from_documents(spark, sf_dir)
+    nodes = nodes_of(pages, id_cols=("doc_id",))
+    return (nodes.filter(F.col("name") == "A")
+            .select("doc_id", F.element_at("attrs", "HREF").alias("href"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_links"),
+                 F.array_join(F.sort_array(F.collect_list("href")), ",")
+                  .alias("hrefs"))
+            .orderBy("doc_id"))
+
+
 def _q_nodes_histogram(spark, sf_dir):
     """DOM-node name histogram over the parsed corpus -- the exploded nodes
     table as a relational surface.  Template 0 node mix is deterministic."""
@@ -154,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": _q_extract_spans,
         "serialize_roundtrip": _q_serialize_roundtrip,
         "nodes_histogram": _q_nodes_histogram,
+        "extract_links": _q_extract_links,
         "tokens_histogram": _q_tokens_histogram,
         "warn_histogram": _q_warn_histogram,
         "host_stats": _q_host_stats,
@@ -273,6 +290,9 @@ SELECT * FROM (
   UNION ALL SELECT 5, 0*d FROM n
 ) ORDER BY level
 """,
+        "extract_links": (
+            "SELECT doc_id, CAST(3 AS BIGINT) AS n_links, "
+            "'/,/about,/c' AS hrefs FROM documents ORDER BY doc_id"),
         "pricing_summary": R.ORACLE_PRICING,
         "top_revenue_nations": R.ORACLE_TOP_REVENUE,
         "order_priority": R.ORACLE_ORDER_PRIORITY,
