@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": R.q_url_canonical,
         "token_stats": R.q_token_stats,
         "quality_score": R.q_quality_score,
+        "gopher_quality": R.q_gopher_quality,
+        "repetition_stats": R.q_repetition_stats,
         "fingerprint": R.q_fingerprint,
         "winnow_fingerprint": R.q_winnow_fingerprint,
         "ngram_shingles": R.q_ngram_shingles,
@@ -305,6 +307,8 @@ SELECT * FROM (
         "url_canonical": R.ORACLE_URL_CANONICAL,
         "token_stats": R.ORACLE_TOKEN_STATS,
         "quality_score": R.ORACLE_QUALITY,
+        "gopher_quality": R.ORACLE_GOPHER,
+        "repetition_stats": R.ORACLE_REPETITION,
         "fingerprint": R.ORACLE_FINGERPRINT,
         "winnow_fingerprint": R.ORACLE_WINNOW,
         "ngram_shingles": R.ORACLE_NGRAM,

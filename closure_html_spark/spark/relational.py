@@ -701,6 +701,130 @@ _LANG_STOPS = {
 }
 
 
+# Gopher-rule stopword probe set (Rae et al. 2021 §A1.1-style "contains
+# at least 2 common English words" check), chosen to intersect the
+# synthetic corpus vocabulary
+_GOPHER_STOPS = ("the", "a", "and", "of", "to", "in", "is", "that")
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style document quality rules (the canonical pretraining
+    filter set, Rae et al. 2021): word count bounds, mean word length
+    bounds, symbol-word ratio, alphabetic-word fraction, stopword
+    presence -- each as a signal column plus the combined keep flag.
+    Pure column expressions / SQL-replayable higher-order functions; no
+    shuffle beyond the final sort."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    mean_wl = F.round(F.length(F.array_join(words, "")) / n_words, 4)
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words, 4)
+    sym_frac = F.round(
+        F.size(F.filter(words,
+                        lambda w: w.isin("#", "...") | w.rlike("^#+$")))
+        / n_words, 4)
+    stop_hits = F.size(F.array_intersect(
+        words, F.array(*[F.lit(s) for s in _GOPHER_STOPS])))
+    d = docs.select(
+        "doc_id", n_words.alias("n_words"), mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"), sym_frac.alias("sym_frac"),
+        stop_hits.alias("stop_hits"))
+    keep = ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+            & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+            & (F.col("sym_frac") < 0.1) & (F.col("alpha_frac") > 0.8)
+            & (F.col("stop_hits") >= 2))
+    return d.withColumn("keep", keep).orderBy("doc_id")
+
+
+ORACLE_GOPHER = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ws
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         LEN(ws) AS n_words,
+         ROUND(LENGTH(array_to_string(ws, '')) / LEN(ws), 4)
+           AS mean_word_len,
+         ROUND(LEN(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+               / LEN(ws), 4) AS alpha_frac,
+         ROUND(LEN(list_filter(ws, x -> x = '#' OR x = '...'
+                                        OR regexp_matches(x, '^#+$')))
+               / LEN(ws), 4) AS sym_frac,
+         LEN(list_intersect(ws,
+             [{', '.join(repr(s) for s in _GOPHER_STOPS)}])) AS stop_hits
+  FROM w
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len, alpha_frac,
+       sym_frac, CAST(stop_hits AS INT) AS stop_hits,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND sym_frac < 0.1 AND alpha_frac > 0.8
+        AND stop_hits >= 2) AS keep
+FROM d ORDER BY doc_id
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Repetition metrics (the Gopher/C4 repetition-removal signals):
+    top-word fraction, duplicate-bigram fraction and top-bigram fraction
+    per document -- explode + partial-agg, all in codegen.  Docs with
+    fewer than two words carry no bigram and are excluded (both
+    engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ex = (docs.filter(F.size(words) >= 2)
+          .select("doc_id", F.posexplode(words).alias("pos", "w")))
+    wc = (ex.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+          .groupBy("doc_id")
+          .agg(F.round(F.max("c") / F.sum("c"), 4).alias("top_word_frac")))
+    bi = (ex.select("doc_id", "pos", "w",
+                    F.lead("w", 1).over(w).alias("w2"))
+          .filter(F.col("w2").isNotNull())
+          .select("doc_id",
+                  F.concat_ws(" ", "w", "w2").alias("bg")))
+    bc = (bi.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+          .groupBy("doc_id")
+          .agg(F.round((F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 4)
+               .alias("dup_bigram_frac"),
+               F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac")))
+    return wc.join(bc, "doc_id").orderBy("doc_id")
+
+
+ORACLE_REPETITION = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ws
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, i AS pos, ws[i] AS word, ws AS ws
+  FROM w, UNNEST(range(1, LEN(ws) + 1)) AS t(i)
+  WHERE LEN(ws) >= 2
+),
+wc AS (
+  SELECT doc_id, ROUND(MAX(c) / SUM(c), 4) AS top_word_frac
+  FROM (SELECT doc_id, word, COUNT(*) AS c FROM ex GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, word || ' ' || ws[pos + 1] AS bg
+  FROM ex WHERE pos < LEN(ws)
+),
+bc AS (
+  SELECT doc_id,
+         ROUND((SUM(c) - COUNT(*)) / SUM(c), 4) AS dup_bigram_frac,
+         ROUND(MAX(c) / SUM(c), 4) AS top_bigram_frac
+  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT wc.doc_id AS doc_id, top_word_frac, dup_bigram_frac, top_bigram_frac
+FROM wc JOIN bc ON wc.doc_id = bc.doc_id
+ORDER BY wc.doc_id
+"""
+
+
 # deterministic per-doc filename extension for the mime classification
 # query: exercises exact lookup (html/jpg/xml/png/gif/css/txt/tif/jpe),
 # the reference's 3-char legacy fallback (htm -> html), and unknowns
