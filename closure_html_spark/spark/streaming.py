@@ -142,21 +142,24 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def stream_dedup_urls(pages: DataFrame, n_groups: int = 64,
-                      m_bits: int = 1 << 23) -> DataFrame:
+def stream_dedup(pages: DataFrame, key_col: str = "url",
+                 n_groups: int = 64, m_bits: int = 1 << 23,
+                 out_cols: str = ("url string, warc_ts timestamp, "
+                                  "html binary")) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): emit
-    each url the FIRST time it is ever seen across the life of the stream.
-
-    CC re-crawls the same urls continuously; first-seen dedup upstream of
+    each row whose `key_col` value is seen for the FIRST time across the
+    life of the stream.  key_col="url" is crawl-frontier dedup (CC
+    re-crawls the same urls continuously -- first-seen dedup upstream of
     the parse stage is the single biggest compute saver in a continuous
-    ingest.
+    ingest); pass a content-hash column (e.g. xxhash64(html) as string)
+    for exact-content dedup of mirrored pages under different urls.
 
-    State = one CONSTANT-SIZE Bloom filter per url-hash group (m_bits bits,
-    k=4 hash indices computed JVM-side as xxhash64(url, seed_i) columns
-    BEFORE the stateful operator), so state is m_bits/8 bytes per group
-    forever -- an exact-set state would grow 8 bytes per unique url
+    State = one CONSTANT-SIZE Bloom filter per key-hash group (m_bits
+    bits, k=4 hash indices computed JVM-side as xxhash64(key, seed_i)
+    columns BEFORE the stateful operator), so state is m_bits/8 bytes per
+    group forever -- an exact-set state would grow 8 bytes per unique key
     (8 TB at 10^12 urls).  The trade is a bounded false-drop rate:
-    (1-exp(-4n/m))^4 per new url after n uniques in a group (~0.2% at
+    (1-exp(-4n/m))^4 per new key after n uniques in a group (~0.2% at
     n = m/16; size m_bits to the expected uniques).  The Python fn does
     ONLY numpy indexing over the precomputed index columns -- no per-row
     hashing, no per-row Python at all.
@@ -167,6 +170,7 @@ def stream_dedup_urls(pages: DataFrame, n_groups: int = 64,
 
     n_bytes = m_bits // 8
     idx_cols = [f"_h{i}" for i in range(4)]
+    out_names = [f.split()[0] for f in out_cols.split(",")]
 
     def fn(key, pdfs, state):
         if state.exists:
@@ -182,26 +186,34 @@ def stream_dedup_urls(pages: DataFrame, n_groups: int = 64,
             bit_m = np.uint8(1) << (idx & 7).astype(np.uint8)
             seen = ((bloom[byte_i] & bit_m) == bit_m).all(axis=1)
             # also drop repeats within this batch (first occurrence wins)
-            first_in_batch = ~pd.Series(pdf["url"]).duplicated().to_numpy()
+            first_in_batch = ~pd.Series(pdf[key_col]).duplicated().to_numpy()
             emit = (~seen) & first_in_batch
             if emit.any():
                 ei = byte_i[emit].ravel()
                 em = bit_m[emit].ravel()
                 np.bitwise_or.at(bloom, ei, em)
                 changed = True
-                yield pdf.loc[emit, ["url", "warc_ts", "html"]]
+                yield pdf.loc[emit, out_names]
         if changed:
             state.update((bloom.tobytes(),))
 
     keyed = pages.withColumn(
-        "grp", F.pmod(F.xxhash64("url"), F.lit(n_groups)).cast("int"))
+        "grp", F.pmod(F.xxhash64(key_col), F.lit(n_groups)).cast("int"))
     for i, c in enumerate(idx_cols):
         keyed = keyed.withColumn(
-            c, F.pmod(F.xxhash64("url", F.lit(i)), F.lit(m_bits)))
+            c, F.pmod(F.xxhash64(key_col, F.lit(i)), F.lit(m_bits)))
     return keyed.groupBy("grp").applyInPandasWithState(
         fn,
-        outputStructType="url string, warc_ts timestamp, html binary",
+        outputStructType=out_cols,
         stateStructType="bloom binary",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_urls(pages: DataFrame, n_groups: int = 64,
+                      m_bits: int = 1 << 23) -> DataFrame:
+    """First-seen URL dedup: stream_dedup specialized to the crawl
+    frontier (kept as the named operator the tests/docs reference)."""
+    return stream_dedup(pages, key_col="url", n_groups=n_groups,
+                        m_bits=m_bits)

@@ -104,6 +104,38 @@ def test_stream_dedup_urls_stateful(spark, tmp_path_factory):
     assert got.select("url").distinct().count() == n_unique + 100
 
 
+def test_stream_dedup_by_content_key(spark, tmp_path_factory):
+    """stream_dedup generalizes to any key column: keyed on a content
+    hash, mirrored pages under different urls dedup to one emission."""
+    from datetime import datetime
+
+    from closure_html_spark.spark.streaming import stream_dedup
+
+    in_dir = str(tmp_path_factory.mktemp("cdedup_in"))
+    out_dir = str(tmp_path_factory.mktemp("cdedup_out"))
+    ckpt = str(tmp_path_factory.mktemp("cdedup_ckpt"))
+
+    ts = datetime(2024, 1, 1)
+    rows = [(f"https://m{i}.example/p", ts,
+             bytearray(f"<p>content {i % 10}</p>".encode()))
+            for i in range(50)]  # 50 urls, only 10 distinct bodies
+    spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary") \
+        .repartition(1).write.mode("append").parquet(in_dir)
+
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, html binary")
+              .parquet(in_dir))
+    keyed = stream.withColumn("ck", F.xxhash64("html"))
+    q = (stream_dedup(keyed, key_col="ck", n_groups=4)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 10
+    assert got.select(F.xxhash64("html")).distinct().count() == 10
+
+
 def test_stream_sessionize_stateful(spark, tmp_path_factory):
     """applyInPandasWithState event-time sessionization: sessions close
     when the data shows a gap > 30 min, including gaps that SPAN a
