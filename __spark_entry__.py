@@ -136,19 +136,20 @@ def _q_warn_histogram(spark, sf_dir):
 
 
 def _q_extract_links(spark, sf_dir):
-    """Outlink extraction -- the crawl-frontier feed: hrefs of <A> nodes
-    from the parsed DOM, via the exploded nodes table's attrs map.
-    Template 0 pages carry exactly three links (/, /about, /c), so the
-    oracle is closed-form and breaks loudly on any attr-parsing drift."""
+    """Outlink extraction -- the crawl-frontier feed: hrefs of <A> nodes in
+    document order, emitted by the extract stage itself as a
+    `links array<string>` column (columns=("links",) projection), so the
+    frontier consumer never materializes the full per-node table -- no
+    explode, no shuffle until the final per-doc shaping.  Template 0 pages
+    carry exactly three links (/, /about, /c), so the oracle is closed-form
+    and breaks loudly on any attr-parsing drift."""
     pages = pages_from_documents(spark, sf_dir)
-    nodes = nodes_of(pages, id_cols=("doc_id",))
-    return (nodes.filter(F.col("name") == "A")
-            .select("doc_id", F.element_at("attrs", "HREF").alias("href"))
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_links"),
-                 F.array_join(F.sort_array(F.collect_list("href")), ",")
-                  .alias("hrefs"))
-            .orderBy("doc_id"))
+    ext = extract_pages(pages, id_cols=("doc_id",), columns=("links",))
+    return (ext.select(
+        "doc_id",
+        F.size("links").cast("long").alias("n_links"),
+        F.array_join(F.array_sort("links"), ",").alias("hrefs"))
+        .orderBy("doc_id"))
 
 
 def _q_nodes_histogram(spark, sf_dir):
@@ -185,6 +186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "dedup_exact": R.q_dedup_exact,
         "paragraph_dedup": R.q_paragraph_dedup,
+        # realistic C4-style span length (round-3 verdict #7: 3 words is a
+        # toy; 50-word shared spans are near-certain cross-doc duplication)
+        "paragraph_dedup_50": lambda s, d: R.q_paragraph_dedup(
+            s, d, chunk_words=50),
         "url_canonical": R.q_url_canonical,
         "token_stats": R.q_token_stats,
         "quality_score": R.q_quality_score,
@@ -195,14 +200,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_shingles": R.q_ngram_shingles,
         "jaccard_pairs": R.q_jaccard_pairs,
         "ann_cosine_topk": R.q_ann_cosine_topk,
-        "ann_lsh_topk": R.q_ann_lsh_topk,
-        "ann_ivf_topk": R.q_ann_ivf_topk,
+        # index-sizing params PINNED to the static oracle constants
+        # (band_bits=4 / n_cells=16): the queries self-size from table
+        # stats by default, but the gate must replay identically on ANY
+        # corpus size -- the sizing rules themselves are asserted by
+        # tests/test_lsh_scale.py, not this gate
+        "ann_lsh_topk": lambda s, d: R.q_ann_lsh_topk(s, d, band_bits=4),
+        "ann_ivf_topk": lambda s, d: R.q_ann_ivf_topk(s, d, n_cells=16),
         "minhash_bands": R.q_minhash_bands,
         "lang_id": R.q_lang_id,
         "mime_class": R.q_mime_class,
         "simhash": R.q_simhash,
         "embedding_neardup": R.q_embedding_neardup,
-        "embedding_neardup_lsh": R.q_embedding_neardup_lsh,
+        "embedding_neardup_lsh": lambda s, d: R.q_embedding_neardup_lsh(
+            s, d, band_bits=4),
         # multimodal plumbing
         "media_decode": q_media_decode,
         "media_meta": q_media_meta,
@@ -304,6 +315,7 @@ SELECT * FROM (
         "string_datetime": R.ORACLE_STRING_DATETIME,
         "dedup_exact": R.ORACLE_DEDUP_EXACT,
         "paragraph_dedup": R.ORACLE_PARAGRAPH_DEDUP,
+        "paragraph_dedup_50": R.ORACLE_PARAGRAPH_DEDUP_50,
         "url_canonical": R.ORACLE_URL_CANONICAL,
         "token_stats": R.ORACLE_TOKEN_STATS,
         "quality_score": R.ORACLE_QUALITY,

@@ -32,11 +32,27 @@ RESULT_COL_DDL = {
     "title": "string",
     "extracted_text": "string",
     "spans": "array<struct<start:int,end:int,score:double,keep:boolean>>",
+    "links": "array<string>",
     "n_nodes": "int",
     "n_warns": "int",
     "warn_levels": "array<int>",
     "charset": "string",
 }
+
+
+def _doc_links(doc) -> list[str]:
+    """HREF values of <A> nodes in document (pre)order -- the crawl-frontier
+    outlink feed, computed during the extract stage's existing DOM walk so
+    the frontier consumer never materializes the full nodes table
+    (round-3 verdict wrong #2)."""
+    out = []
+    for n, _ in doc.walk():
+        if doc.name[n] == "A":
+            for k, v in (doc.attrs[n] or ()):
+                if k == "HREF" and v is not None:
+                    out.append(v)
+                    break
+    return out
 
 EXTRACT_RESULT_COLS = ", ".join(f"{k} {v}" for k, v in RESULT_COL_DDL.items())
 
@@ -59,7 +75,8 @@ def _extract_schema(df: DataFrame, id_cols: tuple[str, ...]) -> str:
 def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                   default_charset: str = "utf-8",
                   engine: str = "arrow",
-                  columns: tuple[str, ...] | None = None) -> DataFrame:
+                  columns: tuple[str, ...] | None = None,
+                  packed_spans: bool = False) -> DataFrame:
     """Parse + extract every page.  Keeps `id_cols` as passthrough keys.
 
     If the input has a `content_type` column (WARC-style HTTP header), its
@@ -82,11 +99,25 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
     columns=("warn_levels",) skips building the text payload entirely
     (and skips the span scorer when no text column is requested).
     main_text is only attached when extracted_text AND spans are present.
-    Requires engine="arrow"."""
+    Requires engine="arrow".
+
+    packed_spans=True (arrow only, SCALE.md frontier #2 prototype) replaces
+    the `spans` list-of-struct column with `spans_packed binary`: all spans
+    of a doc packed little-endian as (int32 start, int32 end, float64
+    score, int32 keep) = 20 B/span, built by one numpy tobytes() per batch
+    -- one Arrow child buffer instead of four + offsets.  The consumer
+    decodes with closure_html_spark.spark.pipeline.unpack_spans (numpy) or
+    reads span COUNT as length(spans_packed)/20 JVM-side.  main_text is
+    not attached (it needs the struct form)."""
+    if engine not in ("arrow", "pandas"):
+        raise ValueError(f"engine must be 'arrow' or 'pandas', got {engine!r}")
     if columns is not None and engine != "arrow":
         raise ValueError("columns= projection requires engine='arrow'")
+    if packed_spans and engine != "arrow":
+        raise ValueError("packed_spans requires engine='arrow'")
     if engine == "arrow":
-        return _extract_pages_arrow(df, id_cols, default_charset, columns)
+        return _extract_pages_arrow(df, id_cols, default_charset, columns,
+                                    packed_spans)
     schema = _extract_schema(df, id_cols)
     has_ct = "content_type" in df.columns
     cols = list(id_cols) + ["html"] + (["content_type"] if has_ct else [])
@@ -95,7 +126,7 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
         dtd = load_dtd()
         for pdf in batches:
             out = {c: pdf[c] for c in id_cols}
-            titles, texts, spans_col = [], [], []
+            titles, texts, spans_col, links_col = [], [], [], []
             n_nodes, n_warns, warn_levels, charsets = [], [], [], []
             cts = pdf["content_type"] if has_ct else None
             for idx, raw in enumerate(pdf["html"]):
@@ -110,6 +141,7 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                     spans_col.append([
                         {"start": s, "end": e, "score": sc, "keep": k}
                         for s, e, sc, k in res["spans"]])
+                    links_col.append(_doc_links(doc))
                     n_nodes.append(len(doc.name))
                     n_warns.append(len(doc.warnings))
                     # parse-warn levels 1-5 (sgml-parse.lisp:285-292) as
@@ -124,22 +156,38 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                     titles.append("")
                     texts.append("")
                     spans_col.append([])
+                    links_col.append([])
                     n_nodes.append(0)
                     n_warns.append(-1)
                     warn_levels.append([0, 0, 0, 0, 0])
                     charsets.append(f"error:{type(exc).__name__}")
             out.update(title=titles, extracted_text=texts,
-                       spans=spans_col, n_nodes=n_nodes, n_warns=n_warns,
-                       warn_levels=warn_levels, charset=charsets)
+                       spans=spans_col, links=links_col, n_nodes=n_nodes,
+                       n_warns=n_warns, warn_levels=warn_levels,
+                       charset=charsets)
             yield pd.DataFrame(out)
 
     return (df.select(*cols).mapInPandas(fn, schema)
             .withColumn("main_text", F.expr(_MAIN_TEXT_EXPR)))
 
 
+_SPAN_PACK_DTYPE = [("start", "<i4"), ("end", "<i4"), ("score", "<f8"),
+                    ("keep", "<i4")]  # 20 B per span, little-endian
+
+
+def unpack_spans(buf: bytes) -> list[tuple[int, int, float, bool]]:
+    """Decode one spans_packed value back to (start, end, score, keep)
+    tuples (numpy structured-array view, zero parsing loop)."""
+    import numpy as np
+    rec = np.frombuffer(buf, dtype=_SPAN_PACK_DTYPE)
+    return [(int(r["start"]), int(r["end"]), float(r["score"]),
+             bool(r["keep"])) for r in rec]
+
+
 def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
                          default_charset: str,
-                         columns: tuple[str, ...] | None = None) -> DataFrame:
+                         columns: tuple[str, ...] | None = None,
+                         packed_spans: bool = False) -> DataFrame:
     """mapInArrow body of extract_pages: output-column materialization is
     the stage's dominant cost after the round-2 parser fusion (~3x parse
     CPU, SCALE.md frontier #1), and most of it was pandas object-dtype
@@ -158,12 +206,18 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
         wanted = tuple(k for k in RESULT_COL_DDL if k in columns)
     # the span scorer only runs when some text-derived column is requested
     need_extract = bool({"title", "extracted_text", "spans"} & set(wanted))
+    pack = packed_spans and "spans" in wanted
 
     # id columns in the order the input declares them, then result subset
     ids = [name for name, _ in df.dtypes if name in id_cols]
     id_ddl = ", ".join(f"{n} {t}" for n, t in df.dtypes if n in id_cols)
-    schema = id_ddl + ", " + ", ".join(
-        f"{k} {RESULT_COL_DDL[k]}" for k in wanted)
+
+    def _ddl(k):
+        if k == "spans" and pack:
+            return "spans_packed binary"
+        return f"{k} {RESULT_COL_DDL[k]}"
+
+    schema = id_ddl + ", " + ", ".join(_ddl(k) for k in wanted)
     # resolved on the driver (needs the JVM DDL parser); captured by fn
     arrow_schema = to_arrow_schema(StructType.fromDDL(schema))
     has_ct = "content_type" in df.columns
@@ -179,12 +233,14 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
             n = len(htmls)
             titles, texts, charsets = [], [], []
             n_nodes, n_warns = [], []
-            # spans + warn_levels as flat child arrays + offsets: the
-            # ListArray/StructArray build is one memcpy-style pass, no
+            # spans + warn_levels + links as flat child arrays + offsets:
+            # the ListArray/StructArray build is one memcpy-style pass, no
             # per-span Python dicts
             sp_off = [0]
             sp_start, sp_end, sp_score, sp_keep = [], [], [], []
+            lk_off, lk_flat = [0], []
             wl_flat = []
+            need_links = "links" in wanted
             for idx in range(n):
                 try:
                     text, cs = decode_html(
@@ -201,6 +257,9 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
                             sp_score.append(sc)
                             sp_keep.append(k)
                         sp_off.append(len(sp_start))
+                    if need_links:
+                        lk_flat.extend(_doc_links(doc))
+                        lk_off.append(len(lk_flat))
                     n_nodes.append(len(doc.name))
                     n_warns.append(len(doc.warnings))
                     lv = [0, 0, 0, 0, 0]
@@ -213,6 +272,8 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
                     titles.append("")
                     texts.append("")
                     sp_off.append(len(sp_start))
+                    if need_links:
+                        lk_off.append(len(lk_flat))
                     n_nodes.append(0)
                     n_warns.append(-1)
                     wl_flat.extend((0, 0, 0, 0, 0))
@@ -222,7 +283,21 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
                 built["title"] = pa.array(titles, pa.string())
             if "extracted_text" in wanted:
                 built["extracted_text"] = pa.array(texts, pa.string())
-            if "spans" in wanted:
+            if "spans" in wanted and pack:
+                import numpy as np
+                rec = np.empty(len(sp_start), dtype=_SPAN_PACK_DTYPE)
+                rec["start"] = sp_start
+                rec["end"] = sp_end
+                rec["score"] = sp_score
+                rec["keep"] = sp_keep
+                # one value buffer + scaled offsets: a BinaryArray built
+                # from raw buffers, no per-doc bytes objects
+                off = np.asarray(sp_off, dtype=np.int32) * rec.itemsize
+                built["spans"] = pa.Array.from_buffers(
+                    pa.binary(), n,
+                    [None, pa.py_buffer(off.tobytes()),
+                     pa.py_buffer(rec.tobytes())])
+            elif "spans" in wanted:
                 built["spans"] = pa.ListArray.from_arrays(
                     pa.array(sp_off, i32),
                     pa.StructArray.from_arrays(
@@ -230,6 +305,9 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
                          pa.array(sp_score, pa.float64()),
                          pa.array(sp_keep, pa.bool_())],
                         names=["start", "end", "score", "keep"]))
+            if "links" in wanted:
+                built["links"] = pa.ListArray.from_arrays(
+                    pa.array(lk_off, i32), pa.array(lk_flat, pa.string()))
             if "n_nodes" in wanted:
                 built["n_nodes"] = pa.array(n_nodes, i32)
             if "n_warns" in wanted:
@@ -249,7 +327,7 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
             yield out.cast(arrow_schema, safe=False)
 
     result = df.select(*cols).mapInArrow(fn, schema)
-    if "extracted_text" in wanted and "spans" in wanted:
+    if "extracted_text" in wanted and "spans" in wanted and not pack:
         result = result.withColumn("main_text", F.expr(_MAIN_TEXT_EXPR))
     return result
 
@@ -286,13 +364,81 @@ def serialize_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
 
 
 def nodes_of(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
-             default_charset: str = "utf-8") -> DataFrame:
+             default_charset: str = "utf-8",
+             engine: str = "arrow") -> DataFrame:
     """Exploded `nodes` table: one row per DOM node -- the relational query
-    surface over parsed documents (SURVEY.md §2.8 / FIXTURES.md §2)."""
+    surface over parsed documents (SURVEY.md §2.8 / FIXTURES.md §2).
+
+    engine="arrow" (default) assembles the per-node columns as flat
+    primitive lists -> pyarrow arrays in one pass (attrs as a MapArray
+    from flat key/value child arrays + offsets), and replicates the id
+    columns with a C++-side take() gather -- no per-node Python dicts, no
+    pandas object columns (round-3 verdict wrong #2: a 50 KB page explodes
+    to ~10^3 nodes; building each as a dict dominated the stage).
+    engine="pandas" keeps the round-2 path as the value-parity baseline
+    (tests/test_spark_pipeline_edge.py::test_nodes_of_engines_identical)."""
+    if engine not in ("arrow", "pandas"):
+        raise ValueError(f"engine must be 'arrow' or 'pandas', got {engine!r}")
     id_fields = ", ".join(f"{n} {t}" for n, t in df.dtypes if n in id_cols)
     schema = (id_fields + ", node_id int, parent_id int, depth int, "
               "name string, attrs map<string,string>, text string")
     cols = list(id_cols) + ["html"]
+
+    if engine == "arrow":
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        ids = [name for name, _ in df.dtypes if name in id_cols]
+        arrow_schema = to_arrow_schema(StructType.fromDDL(schema))
+        i32 = pa.int32()
+
+        def afn(batches):
+            dtd = load_dtd()
+            for batch in batches:
+                htmls = batch.column("html").to_pylist()
+                row_idx = []          # input-row index per output node row
+                node_id, parent_id, depth_c = [], [], []
+                name_c, text_c = [], []
+                at_off, at_k, at_v = [0], [], []
+                for idx in range(len(htmls)):
+                    try:
+                        text, _ = decode_html(bytes(htmls[idx]),
+                                              default_charset)
+                        doc = parse_html(dtd, text)
+                    except Exception:
+                        continue
+                    # renumber pre-order from the post-mortem root
+                    remap = {}
+                    for n, d in doc.walk():
+                        remap[n] = len(remap)
+                    for n, d in doc.walk():
+                        row_idx.append(idx)
+                        node_id.append(remap[n])
+                        p = doc.parent[n]
+                        parent_id.append(remap.get(p, -1))
+                        depth_c.append(d)
+                        name_c.append(doc.name[n])
+                        for k, v in (doc.attrs[n] or ()):
+                            at_k.append(k)
+                            at_v.append(v)
+                        at_off.append(len(at_k))
+                        text_c.append(doc.text[n])
+                take = pa.array(row_idx, i32)
+                out = pa.RecordBatch.from_arrays(
+                    [batch.column(c).take(take) for c in ids] + [
+                        pa.array(node_id, i32), pa.array(parent_id, i32),
+                        pa.array(depth_c, i32),
+                        pa.array(name_c, pa.string()),
+                        pa.MapArray.from_arrays(
+                            pa.array(at_off, i32),
+                            pa.array(at_k, pa.string()),
+                            pa.array(at_v, pa.string())),
+                        pa.array(text_c, pa.string())],
+                    names=arrow_schema.names)
+                yield out.cast(arrow_schema, safe=False)
+
+        return df.select(*cols).mapInArrow(afn, schema)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dtd = load_dtd()

@@ -59,7 +59,8 @@ def stream_host_rates(pages: DataFrame, window: str = "1 minute",
                  F.sum(F.length("html")).alias("bytes_in")))
 
 
-def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
+                      watermark: str | None = None) -> DataFrame:
     """Custom stateful streaming operator #2 (applyInPandasWithState):
     event-time sessionization with data-driven closure.
 
@@ -78,14 +79,22 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     (min) -- so a straggler can widen the open session but can never
     falsely split it or emit session_end < session_start.  Once a session
     has been CLOSED and emitted, a straggler that would have belonged to it
-    starts/joins the current session instead; bound that staleness upstream
-    with a watermark if exact late-data placement matters.
+    starts/joins the current session instead -- UNLESS `watermark` is set
+    (e.g. "10 minutes"): then events.withWatermark("ts", watermark) bounds
+    late data, and any event whose ts is older than the current event-time
+    watermark is DROPPED inside the operator (it can no longer be placed
+    correctly, and dropping beats corrupting the open session).  The
+    no-watermark default keeps the merge-everything semantics for
+    replay/backfill streams where "late" has no meaning.
 
     State per user = 3 numbers -- constant, unlike a buffer of events."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    wm_enabled = watermark is not None
 
     def fn(key, pdfs, state):
         if state.exists:
@@ -103,6 +112,13 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 # datetime64 resolution pandas hands us
                 all_ts.extend(
                     pdf["ts"].astype("datetime64[us]").astype("int64"))
+        if wm_enabled:
+            # drop events older than the event-time watermark: beyond it
+            # correct placement is impossible (the session they belonged
+            # to may already be emitted) -- documented bounded-late-data
+            # semantics instead of silently joining the current session
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            all_ts = [t for t in all_ts if t >= wm_us]
         all_ts.sort()
         for t in all_ts:
             if last_us is None:
@@ -168,9 +184,13 @@ def stream_dedup(pages: DataFrame, key_col: str = "url",
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from pyspark.sql.types import StructType
+
     n_bytes = m_bits // 8
     idx_cols = [f"_h{i}" for i in range(4)]
-    out_names = [f.split()[0] for f in out_cols.split(",")]
+    # DDL-parse the output schema for field names: naive comma-splitting
+    # breaks on types that contain commas (decimal(10,2), struct<...>)
+    out_names = StructType.fromDDL(out_cols).fieldNames()
 
     def fn(key, pdfs, state):
         if state.exists:

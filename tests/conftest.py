@@ -1,4 +1,11 @@
+import os
+
 import pytest
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

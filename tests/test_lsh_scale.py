@@ -5,7 +5,36 @@ the "scale path" silently degenerates to the crossJoin it replaces."""
 
 from pyspark.sql import functions as F
 
-from closure_html_spark.spark.relational import _rhp_bands, lsh_band_bits
+from closure_html_spark.spark.relational import (
+    _parquet_n_rows,
+    _rhp_bands,
+    ivf_n_cells,
+    lsh_band_bits,
+)
+
+
+def test_ivf_n_cells_sizing_rule():
+    # ~sqrt(N) cells: occupancy sqrt(N) => probe cost n_probe*sqrt(N),
+    # sublinear in N; floor for toy corpora, broadcast-bounded cap
+    assert ivf_n_cells(0) == 16
+    assert ivf_n_cells(500) == 22
+    assert ivf_n_cells(10**6) == 1000
+    assert ivf_n_cells(10**9) == 31623
+    assert ivf_n_cells(10**12) == 1 << 16  # capped: 32 MB centroid bcast
+    for n in (10**6, 10**8, 10**10):
+        c = ivf_n_cells(n)
+        occupancy = n / c
+        # probes touch n_probe * occupancy rows -- must vanish vs N
+        assert 4 * occupancy / n < 1e-2
+
+
+def test_parquet_n_rows_matches_table(spark, sf_dir):
+    """The footer-statistics N (used by the self-sizing ANN queries so no
+    hidden count() job runs) must equal the true row count."""
+    n_meta = _parquet_n_rows(sf_dir, "embeddings")
+    n_true = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert n_meta == n_true
+    assert _parquet_n_rows(sf_dir, "no_such_table") is None
 
 
 def test_lsh_band_bits_sizing_rule():

@@ -4,7 +4,7 @@ batches are bounded by rows AND bytes in session.py)."""
 
 from pyspark.sql import functions as F
 
-from closure_html_spark.spark.pipeline import extract_pages
+from closure_html_spark.spark.pipeline import extract_pages, nodes_of
 
 
 def test_arrow_engine_identical_to_pandas(spark):
@@ -42,6 +42,88 @@ def test_columns_projection_matches_full(spark):
     # title-only still attaches no main_text (needs text+spans)
     t = extract_pages(df, columns=("title", "charset"))
     assert set(t.columns) == {"url", "title", "charset"}
+
+
+def test_links_column(spark):
+    """The `links` result column: HREFs of <A> nodes in document order --
+    A without HREF contributes nothing, duplicates and orderings are
+    preserved, error rows yield [], and both engines agree."""
+    rows = [
+        ("u0", bytearray(b'<html><body>'
+                         b'<a href="/z">z</a><a name="anchor">no href</a>'
+                         b'<p><a href="/a">a</a></p><a href="/z">z again</a>'
+                         b'</body></html>'), None),
+        ("u1", bytearray(b"<p>no links here"), None),
+        ("u2", bytearray(b""), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, html binary, content_type string")
+    a = {r["url"]: r["links"]
+         for r in extract_pages(df, engine="arrow").collect()}
+    assert a["u0"] == ["/z", "/a", "/z"]   # document order, dups kept
+    assert a["u1"] == []
+    assert a["u2"] == []                   # empty/error doc -> []
+    p = {r["url"]: r["links"]
+         for r in extract_pages(df, engine="pandas").collect()}
+    assert p == a
+    # links-only projection skips the text build but returns the same value
+    proj = extract_pages(df, columns=("links",))
+    assert set(proj.columns) == {"url", "links"}
+    assert {r["url"]: r["links"] for r in proj.collect()} == a
+
+
+def test_nodes_of_engines_identical(spark):
+    """nodes_of engine='arrow' (flat-array MapArray assembly) must be
+    row-for-row identical to the pandas baseline, including attrs maps,
+    unparseable-doc skips, and the pre-order renumbering."""
+    rows = [("u0", bytearray(b'<html><head><title>T</title></head><body>'
+                             b'<div id="nav" class="menu"><a href="/x">x</a>'
+                             b'</div><p>text &amp; entity</p></body></html>')),
+            ("u1", bytearray(b"<table><td>soup<ul><li>deep")),
+            ("u2", bytearray(b""))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+
+    def rowset(d):
+        return sorted((r["url"], r["node_id"], r["parent_id"], r["depth"],
+                       r["name"], tuple(sorted((r["attrs"] or {}).items())),
+                       r["text"]) for r in d.collect())
+
+    a = rowset(nodes_of(df, engine="arrow"))
+    p = rowset(nodes_of(df, engine="pandas"))
+    assert a == p
+    assert len(a) > 10
+    # the attrs map survives the MapArray build
+    nav = [r for r in a if r[5] and dict(r[5]).get("ID") == "nav"]
+    assert nav and dict(nav[0][5])["CLASS"] == "menu"
+
+
+def test_packed_spans_roundtrip(spark):
+    """packed_spans=True: the 20 B/span binary packing must decode to
+    exactly the struct-form spans, span count must be computable JVM-side
+    as length/20, and error rows pack to empty bytes."""
+    from closure_html_spark.spark.pipeline import unpack_spans
+
+    rows = [(f"u{i}", bytearray(
+        f"<html><head><title>D{i}</title></head><body><div id=nav>"
+        f"<a href=/>h</a></div><p>content {i} here</p>"
+        f"<div class=footer>f</div></body></html>".encode()))
+        for i in range(20)] + [("uerr", bytearray(b""))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    full = {r["url"]: [tuple(s) for s in r["spans"]]
+            for r in extract_pages(df).collect()}
+    packed = extract_pages(df, packed_spans=True)
+    assert "spans_packed" in packed.columns and "main_text" not in packed.columns
+    got = {r["url"]: r["spans_packed"] for r in packed.collect()}
+    for url, buf in got.items():
+        dec = [(s, e, sc, k) for s, e, sc, k in unpack_spans(bytes(buf))]
+        want = [(s, e, sc, bool(k)) for s, e, sc, k in full[url]]
+        assert dec == want, url
+        assert len(buf) % 20 == 0
+    # JVM-side span count
+    cnt = {r["url"]: r["n"] for r in packed.select(
+        "url", (F.length("spans_packed") / 20).cast("int").alias("n"))
+        .collect()}
+    assert all(cnt[u] == len(full[u]) for u in full)
 
 
 def test_20mb_document_mixed_with_small(spark):

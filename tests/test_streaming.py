@@ -196,3 +196,51 @@ def test_stream_sessionize_stateful(spark, tmp_path_factory):
            for r in spark.read.parquet(out_dir).collect()}
     assert (2, ts(11, 50), ts(12, 0), 2) in got, got
     assert all(s <= e for _, s, e, _ in got), got
+
+
+def test_stream_sessionize_watermark_drops_stragglers(spark,
+                                                      tmp_path_factory):
+    """watermark= variant: an event older than the checkpointed event-time
+    watermark is DROPPED (bounded-late-data semantics) instead of merging
+    into -- and falsely widening -- the current open session."""
+    from datetime import datetime
+
+    from closure_html_spark.spark.streaming import stream_sessionize
+
+    in_dir = str(tmp_path_factory.mktemp("wsess_in"))
+    out_dir = str(tmp_path_factory.mktemp("wsess_out"))
+    ckpt = str(tmp_path_factory.mktemp("wsess_ckpt"))
+
+    def ts(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    def run():
+        stream = (spark.readStream.schema("user_id long, ts timestamp")
+                  .parquet(in_dir))
+        q = (stream_sessionize(stream, gap_minutes=30,
+                               watermark="10 minutes")
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    # wave 1: closes 09:00-09:10, leaves 12:00 open; the checkpointed
+    # watermark after this run = max event time - 10 min = 11:50
+    wave1 = [(1, ts(9, 0)), (1, ts(9, 10)), (1, ts(12, 0))]
+    spark.createDataFrame(wave1, "user_id long, ts timestamp") \
+        .repartition(1).write.mode("append").parquet(in_dir)
+    run()
+
+    # wave 2: 10:00 is beyond the 11:50 watermark -> dropped; 12:05
+    # extends the open session; 14:00 closes it.  Without the drop, the
+    # straggler would widen the session to (10:00, 12:05, 3)
+    wave2 = [(1, ts(10, 0)), (1, ts(12, 5)), (1, ts(14, 0))]
+    spark.createDataFrame(wave2, "user_id long, ts timestamp") \
+        .repartition(1).write.mode("append").parquet(in_dir)
+    run()
+    got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert (1, ts(9, 0), ts(9, 10), 2) in got, got
+    assert (1, ts(12, 0), ts(12, 5), 2) in got, got
+    assert not any(s == ts(10, 0) for _, s, _, _ in got), \
+        f"beyond-watermark straggler was not dropped: {got}"
