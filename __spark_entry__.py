@@ -190,6 +190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # toy; 50-word shared spans are near-certain cross-doc duplication)
         "paragraph_dedup_50": lambda s, d: R.q_paragraph_dedup(
             s, d, chunk_words=50),
+        # the removal transform that follows the report: clean_text with
+        # globally duplicated 50-word chunks removed (one survivor each)
+        "paragraph_clean_50": lambda s, d: R.q_paragraph_dedup_clean(
+            s, d, chunk_words=50),
         "url_canonical": R.q_url_canonical,
         "token_stats": R.q_token_stats,
         "quality_score": R.q_quality_score,
@@ -208,11 +212,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lambda s, d: R.q_ann_lsh_topk(s, d, band_bits=4),
         "ann_ivf_topk": lambda s, d: R.q_ann_ivf_topk(s, d, n_cells=16),
         "minhash_bands": R.q_minhash_bands,
+        # MinHash estimator over banded candidates (signatures-only join)
+        "minhash_est_pairs": R.q_minhash_est_pairs,
         "lang_id": R.q_lang_id,
         "mime_class": R.q_mime_class,
         "simhash": R.q_simhash,
         "embedding_neardup": R.q_embedding_neardup,
         "embedding_neardup_lsh": lambda s, d: R.q_embedding_neardup_lsh(
+            s, d, band_bits=4),
+        # connected components over the LSH pair graph (iterative min-label
+        # propagation; band_bits pinned like the pair query it builds on)
+        "neardup_clusters": lambda s, d: R.q_neardup_clusters(
             s, d, band_bits=4),
         # multimodal plumbing
         "media_decode": q_media_decode,
@@ -316,6 +326,7 @@ SELECT * FROM (
         "dedup_exact": R.ORACLE_DEDUP_EXACT,
         "paragraph_dedup": R.ORACLE_PARAGRAPH_DEDUP,
         "paragraph_dedup_50": R.ORACLE_PARAGRAPH_DEDUP_50,
+        "paragraph_clean_50": R.ORACLE_PARAGRAPH_CLEAN_50,
         "url_canonical": R.ORACLE_URL_CANONICAL,
         "token_stats": R.ORACLE_TOKEN_STATS,
         "quality_score": R.ORACLE_QUALITY,
@@ -330,11 +341,13 @@ SELECT * FROM (
         "mime_class": R.ORACLE_MIME_CLASS,
         "simhash": R.ORACLE_SIMHASH,
         "minhash_bands": R.ORACLE_MINHASH,
+        "minhash_est_pairs": R.ORACLE_MINHASH_EST,
         "embedding_neardup": R.ORACLE_EMBEDDING_NEARDUP,
         # the LSH oracles replay the md5-derived hyperplane sign matrix
         # bit-for-bit (constants baked into both plans); band_bits=4 in the
         # oracle matches lsh_band_bits(500) at the driver's sf0.01 gate
         "embedding_neardup_lsh": R.ORACLE_EMBEDDING_NEARDUP_LSH,
+        "neardup_clusters": R.ORACLE_NEARDUP_CLUSTERS,
         "ann_lsh_topk": R.ORACLE_ANN_LSH,
         "ann_ivf_topk": R.ORACLE_ANN_IVF,
         "media_decode": ORACLE_MEDIA_DECODE,

@@ -224,6 +224,10 @@ def main():
         ("winnow_fingerprint", R.q_winnow_fingerprint),
         ("jaccard_pairs", R.q_jaccard_pairs),
         ("embedding_neardup_lsh", R.q_embedding_neardup_lsh),
+        # round-4 additions
+        ("minhash_est_pairs", R.q_minhash_est_pairs),
+        ("paragraph_clean_50", lambda s, d: R.q_paragraph_dedup_clean(
+            s, d, chunk_words=50)),
     ]
     # TWO full passes over the list, min per query: a throttle dip during
     # one pass cannot poison the recorded wall for the queries it clipped

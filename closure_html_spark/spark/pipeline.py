@@ -419,9 +419,12 @@ def nodes_of(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                         parent_id.append(remap.get(p, -1))
                         depth_c.append(d)
                         name_c.append(doc.name[n])
-                        for k, v in (doc.attrs[n] or ()):
-                            at_k.append(k)
-                            at_v.append(v)
+                        # dict round-trip dedups repeated attr names (last
+                        # wins) -- matches the pandas path and Spark's
+                        # map-key uniqueness requirement
+                        ad = dict(doc.attrs[n]) if doc.attrs[n] else {}
+                        at_k.extend(ad.keys())
+                        at_v.extend(ad.values())
                         at_off.append(len(at_k))
                         text_c.append(doc.text[n])
                 take = pa.array(row_idx, i32)
@@ -482,14 +485,86 @@ def with_url_bucket(df: DataFrame, num_buckets: int = 1024) -> DataFrame:
 
 
 def tokens_of(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
-              default_charset: str = "utf-8") -> DataFrame:
+              default_charset: str = "utf-8",
+              engine: str = "arrow") -> DataFrame:
     """Exploded `tokens` table (FIXTURES.md §2): the raw lexer output, one
-    row per token -- the debugging/inspection surface for the tokenizer."""
+    row per token -- the debugging/inspection surface for the tokenizer.
+
+    engine="arrow" (default) uses the same flat-array + MapArray + take()
+    assembly as nodes_of (no per-token Python dicts); engine="pandas"
+    keeps the original path as the value-parity baseline."""
     from ..parser.tokenizer import Tokenizer
+    if engine not in ("arrow", "pandas"):
+        raise ValueError(f"engine must be 'arrow' or 'pandas', got {engine!r}")
     id_fields = ", ".join(f"{n} {t}" for n, t in df.dtypes if n in id_cols)
     schema = (id_fields + ", pos int, kind string, name string, "
               "attrs map<string,string>, text string")
     cols = list(id_cols) + ["html"]
+
+    if engine == "arrow":
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        ids = [name for name, _ in df.dtypes if name in id_cols]
+        arrow_schema = to_arrow_schema(StructType.fromDDL(schema))
+        i32 = pa.int32()
+
+        def afn(batches):
+            dtd = load_dtd()
+            for batch in batches:
+                htmls = batch.column("html").to_pylist()
+                row_idx = []
+                pos_c, kind_c, name_c, text_c = [], [], [], []
+                at_off, at_k, at_v = [0], [], []
+                for idx in range(len(htmls)):
+                    try:
+                        text, _ = decode_html(bytes(htmls[idx]),
+                                              default_charset)
+                        toks = list(Tokenizer(text, dtd.entities).tokens())
+                    except Exception:
+                        continue
+                    for pos, tok in enumerate(toks):
+                        row_idx.append(idx)
+                        pos_c.append(pos)
+                        kind = tok[0]
+                        kind_c.append(kind)
+                        if kind in ("start", "empty"):
+                            name_c.append(tok[1])
+                            # dict round-trip dedups repeated attr names
+                            # (last wins), matching the pandas path and
+                            # Spark's map-key uniqueness requirement
+                            ad = {(a[0] if isinstance(a, tuple) else a):
+                                  (a[1] if isinstance(a, tuple) else "")
+                                  for a in tok[2]}
+                            at_k.extend(ad.keys())
+                            at_v.extend(ad.values())
+                            text_c.append(None)
+                        elif kind == "end":
+                            name_c.append(tok[1])
+                            text_c.append(None)
+                        elif kind == "eof":
+                            name_c.append(None)
+                            text_c.append(None)
+                        else:  # pcdata/comment/define/pi
+                            name_c.append(None)
+                            text_c.append(tok[1])
+                        at_off.append(len(at_k))
+                take = pa.array(row_idx, i32)
+                out = pa.RecordBatch.from_arrays(
+                    [batch.column(c).take(take) for c in ids] + [
+                        pa.array(pos_c, i32),
+                        pa.array(kind_c, pa.string()),
+                        pa.array(name_c, pa.string()),
+                        pa.MapArray.from_arrays(
+                            pa.array(at_off, i32),
+                            pa.array(at_k, pa.string()),
+                            pa.array(at_v, pa.string())),
+                        pa.array(text_c, pa.string())],
+                    names=arrow_schema.names)
+                yield out.cast(arrow_schema, safe=False)
+
+        return df.select(*cols).mapInArrow(afn, schema)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dtd = load_dtd()

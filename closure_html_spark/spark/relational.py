@@ -410,23 +410,25 @@ ORDER BY a_id, b_id
 
 
 def _dot_expr(a, b, dim: int = 64):
-    """Explicit element_at dot product: zip_with/aggregate lambdas are
-    INTERPRETED per element (Spark does not codegen higher-order
-    functions), which dominates hot pair paths (~10^6+ rows x 64 terms);
-    the unrolled sum stays in whole-stage codegen.  Left-associated from
-    0.0, so the float result is bit-identical to the aggregate fold and
-    to DuckDB's list_dot_product."""
-    dot = F.lit(0.0)
-    for i in range(1, dim + 1):
-        dot = dot + (F.element_at(a, i).cast("double") *
-                     F.element_at(b, i).cast("double"))
-    return dot
+    """Dot product via zip_with/aggregate.  Round 3 unrolled this into 64
+    element_at terms on the theory that HOF lambdas are interpreted while
+    the unrolled sum stays in whole-stage codegen; an interleaved ABBA A/B
+    at sf0.1 (round 4, BASELINE.md) showed the OPPOSITE -- the unrolled
+    chain is ~1.7x SLOWER (median 2.48 s vs 1.48 s on ann_cosine; a
+    64-term generated expression exceeds JIT method-size limits and falls
+    back to interpretation of a far bigger tree, while the HOF loop is a
+    tight JVM array loop).  Reverted to the fold form; left-associated
+    from 0.0 so the float result is bit-identical to DuckDB's
+    list_dot_product.  `dim` kept for signature stability (unused)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
 
 
 def q_ann_cosine_topk(spark, sf_dir, k: int = 5, n_queries: int = 3):
     """Brute-force cosine top-k similarity search -- the exact baseline for
     ANN.  Query vectors = embeddings with vec_id < n_queries; crossJoin with
-    broadcast query side, codegen'd unrolled dot product."""
+    broadcast query side, zip_with/aggregate dot (see _dot_expr)."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = (emb.filter(F.col("vec_id") < n_queries)
           .select(F.col("vec_id").alias("q_id"),
@@ -468,27 +470,21 @@ FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk
 """
 
 
-def q_minhash_bands(spark, sf_dir, n_hashes: int = 16, n_bands: int = 4,
-                    portable_hash: bool = True):
-    """MinHash+LSH candidate generation, fully JVM-side:
-    shingle -> salted hash -> min per hash -> band signature -> groupBy
-    band bucket.  Returns candidate pair counts per band bucket.
+def _minhash_sigs(docs, n_hashes: int = 16, portable_hash: bool = True):
+    """MinHash signatures (doc_id, h0..h{n-1}), fully JVM-side: exploded
+    shingles -> n_hashes salted hashes per row -> map-side partial MIN
+    (stays in whole-stage codegen end to end; HOF lambdas would not).
 
-    portable_hash=True (default) derives the 16 salted hashes from md5
-    (first 8 hex digits of md5(shingle || '|' || salt)) and the band bucket
-    from md5 of the joined minima, so the DuckDB oracle replays the whole
-    operator.  portable_hash=False swaps in xxhash64 -- cheaper per shingle,
-    the knob to flip at 100 TB if hashing ever dominates the profile."""
-    docs = _t(spark, sf_dir, "documents")
+    portable_hash=True derives the hashes from ONE md5 per shingle via
+    Carter-Wegman-style linear mixes of its two 32-bit halves (a*k1 +
+    b*k2 + h, all < 2^41 so no BIGINT overflow in either engine -- DuckDB
+    errors on overflow where Spark wraps), so DuckDB replays the
+    signatures bit-for-bit.  portable_hash=False swaps in xxhash64 --
+    cheaper per shingle, the knob to flip at 100 TB if hashing ever
+    dominates the profile."""
     words = F.split(F.trim(F.col("text")), r"\s+")
     docs = docs.filter(F.size(words) >= 3)
-    # exploded shingles -> 16 salted hashes per row -> map-side partial MIN:
-    # stays in whole-stage codegen end to end (HOF lambdas would not)
     if portable_hash:
-        # ONE md5 per shingle; the 16 salted hashes are Carter-Wegman-style
-        # linear mixes of its two 32-bit halves (a*k1 + b*k2 + h, all
-        # < 2^41, so no BIGINT overflow in either engine -- DuckDB errors
-        # on overflow where Spark wraps)
         md5 = F.md5(F.col("tri"))
         a = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
         b = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
@@ -501,13 +497,18 @@ def q_minhash_bands(spark, sf_dir, n_hashes: int = 16, n_bands: int = 4,
             return F.xxhash64("tri", F.lit(h)).alias(f"x{h}")
     tri = _shingles(docs).select(
         "doc_id", *[_h(h) for h in range(n_hashes)])
-    sigs = tri.groupBy("doc_id").agg(
+    return tri.groupBy("doc_id").agg(
         *[F.min(f"x{h}").alias(f"h{h}") for h in range(n_hashes)])
+
+
+def _minhash_banded(sigs, n_hashes: int, n_bands: int,
+                    portable_hash: bool = True):
+    """(doc_id, band, bucket) rows from a signature table -- one pass via
+    posexplode of an array of (band, bucket) structs.  (A unionAll of
+    per-band selects would re-execute the whole shingle+agg subplan once
+    per band: Catalyst does not dedupe common subplans across union
+    branches.)"""
     per_band = n_hashes // n_bands
-    # single pass over sigs: posexplode an array of (band, bucket) structs.
-    # (A unionAll of per-band selects re-executes the whole shingle+agg
-    # subplan once per band -- Catalyst does not dedupe common subplans
-    # across union branches.)
     if portable_hash:
         def _bucket(b):
             return F.md5(F.concat_ws(",", *[
@@ -523,15 +524,63 @@ def q_minhash_bands(spark, sf_dir, n_hashes: int = 16, n_bands: int = 4,
         F.struct(F.lit(b).cast("int").alias("band"),
                  _bucket(b).alias("bucket"))
         for b in range(n_bands)])
-    allb = (sigs
+    return (sigs
             .select("doc_id", F.explode(band_structs).alias("bb"))
             .select("doc_id", F.col("bb.band").alias("band"),
                     F.col("bb.bucket").alias("bucket")))
+
+
+def q_minhash_bands(spark, sf_dir, n_hashes: int = 16, n_bands: int = 4,
+                    portable_hash: bool = True):
+    """MinHash+LSH candidate generation: shingle -> salted hash -> min per
+    hash -> band signature -> groupBy band bucket.  Returns candidate pair
+    counts per band bucket (see _minhash_sigs for the portable-hash
+    machinery the DuckDB oracle replays)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = _minhash_sigs(docs, n_hashes, portable_hash)
+    allb = _minhash_banded(sigs, n_hashes, n_bands, portable_hash)
     return (allb.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("doc_id").alias("min_doc"))
             .filter(F.col("n_docs") > 1)
             .orderBy("band", "bucket"))
+
+
+def q_minhash_est_pairs(spark, sf_dir, n_hashes: int = 16, n_bands: int = 4,
+                        threshold: float = 0.5,
+                        portable_hash: bool = True):
+    """MinHash near-duplicate pairs with ESTIMATED Jaccard -- the second
+    stage of the standard MinHash dedup pipeline: banding proposes
+    candidates (any shared band bucket, sub-quadratic bucket equi-join),
+    then est_jaccard = fraction of the n_hashes signature minima that
+    agree (the unbiased MinHash estimator) filters them WITHOUT touching
+    document text -- at 100 TB the signatures (n_hashes longs/doc) are
+    ~1/1000th of the corpus, so the estimate join is cheap and the exact
+    verification (q_jaccard_pairs) runs only on survivors if at all.
+    Ids+signatures only through the shuffle; DuckDB replays everything."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = _minhash_sigs(docs, n_hashes, portable_hash)
+    allb = _minhash_banded(sigs, n_hashes, n_bands, portable_hash)
+    a = allb.select(F.col("doc_id").alias("a_id"), "band", "bucket")
+    b = allb.select(F.col("doc_id").alias("b_id"), "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id").distinct())
+    sa = sigs.select(F.col("doc_id").alias("a_id"),
+                     *[F.col(f"h{h}").alias(f"a{h}")
+                       for h in range(n_hashes)])
+    sb = sigs.select(F.col("doc_id").alias("b_id"),
+                     *[F.col(f"h{h}").alias(f"b{h}")
+                       for h in range(n_hashes)])
+    agree = None
+    for h in range(n_hashes):
+        t = (F.col(f"a{h}") == F.col(f"b{h}")).cast("int")
+        agree = t if agree is None else agree + t
+    est = F.round(agree / F.lit(float(n_hashes)), 4)
+    return (cand.join(sa, "a_id").join(sb, "b_id")
+            .select("a_id", "b_id", est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold)
+            .orderBy("a_id", "b_id"))
 
 
 def q_paragraph_dedup(spark, sf_dir, chunk_words: int = 3):
@@ -588,6 +637,96 @@ FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1 ORDER BY h
 
 ORACLE_PARAGRAPH_DEDUP = _paragraph_dedup_oracle_sql()
 ORACLE_PARAGRAPH_DEDUP_50 = _paragraph_dedup_oracle_sql(50)
+
+
+def q_paragraph_dedup_clean(spark, sf_dir, chunk_words: int = 50):
+    """C4-style paragraph REMOVAL: the transform stage that follows
+    q_paragraph_dedup's reporting -- re-emit every document with globally
+    duplicated chunks removed, keeping exactly ONE occurrence corpus-wide
+    (the lexicographically first (doc_id, position); C4 keeps one
+    occurrence of every three-sentence span, Raffel et al. 2020 §2.2).
+
+    Shape: chunk explode -> ONE shuffle on chunk value (window min over
+    the (doc_id, pos) struct marks the owner) -> per-doc re-aggregation.
+    Chunks-only through the shuffle; the full text never moves twice.
+    clean_text is the whitespace-normalized rejoin of kept chunks plus
+    the sub-chunk tail; n_removed counts dropped chunks per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    k = chunk_words
+    n_chunks = F.floor(F.size(words) / k).cast("long")
+    chunks = F.when(n_chunks >= 1, F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.concat_ws(" ", F.slice(words, (i - 1) * k + 1, k)))
+    ).otherwise(F.array().cast("array<string>"))
+    chunked = docs.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    wchunk = Window.partitionBy("chunk")
+    marked = (chunked
+              .withColumn("f", F.min(F.struct("doc_id", "pos")).over(wchunk))
+              .withColumn("keep", (F.col("doc_id") == F.col("f.doc_id"))
+                          & (F.col("pos") == F.col("f.pos"))))
+    per_doc = (marked.groupBy("doc_id").agg(
+        F.sum((~F.col("keep")).cast("int")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("keep"), F.struct("pos", "chunk")))),
+                lambda x: x["chunk"]), " ").alias("kept")))
+    tail = F.concat_ws(" ", F.slice(
+        words, (n_chunks * k + 1).cast("int"),
+        F.greatest(F.size(words) - (n_chunks * k).cast("int"), F.lit(0))))
+    base = docs.select("doc_id", tail.alias("tail"))
+    return (base.join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_removed", F.lit(0)).cast("long")
+                     .alias("n_removed"),
+                    F.trim(F.concat_ws(
+                        " ", F.coalesce("kept", F.lit("")), "tail"))
+                     .alias("clean_text"))
+            .orderBy("doc_id"))
+
+
+def _paragraph_clean_oracle_sql(chunk_words: int = 50) -> str:
+    """DuckDB replay of q_paragraph_dedup_clean: same chunking, same
+    struct-min ownership, same rejoin."""
+    k = chunk_words
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ws
+  FROM documents
+),
+c AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(ws[(i-1)*{k}+1 : i*{k}], ' ') AS chunk
+  FROM w, UNNEST(range(1, CAST(FLOOR(LEN(ws)/{k}) AS BIGINT) + 1)) AS t(i)
+),
+marked AS (
+  SELECT doc_id, pos, chunk,
+         MIN(struct_pack(d := doc_id, p := pos))
+           OVER (PARTITION BY chunk) AS f
+  FROM c
+),
+perdoc AS (
+  SELECT doc_id,
+         SUM(CASE WHEN doc_id = f.d AND pos = f.p THEN 0 ELSE 1 END)
+           AS n_removed,
+         string_agg(CASE WHEN doc_id = f.d AND pos = f.p THEN chunk END,
+                    ' ' ORDER BY pos) AS kept
+  FROM marked GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(COALESCE(p.n_removed, 0) AS BIGINT) AS n_removed,
+       TRIM(CONCAT_WS(' ', COALESCE(p.kept, ''),
+            array_to_string(
+              ws[CAST(FLOOR(LEN(ws)/{k}) AS BIGINT)*{k}+1 : LEN(ws)], ' ')))
+         AS clean_text
+FROM w LEFT JOIN perdoc p USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
+ORACLE_PARAGRAPH_CLEAN_50 = _paragraph_clean_oracle_sql(50)
 
 
 def _canonical_url(u):
@@ -662,8 +801,9 @@ FROM c GROUP BY curl ORDER BY curl
 """
 
 
-def _minhash_oracle_sql(n_hashes: int = 16, n_bands: int = 4) -> str:
-    """DuckDB replay of q_minhash_bands(portable_hash=True)."""
+def _minhash_ctes(n_hashes: int = 16, n_bands: int = 4) -> str:
+    """Shared CTE text (w/tri/ab/hx/bands) replaying _minhash_sigs +
+    _minhash_banded in DuckDB, used by both minhash oracles."""
     per_band = n_hashes // n_bands
     mins = ",\n   ".join(
         f"MIN(a * {2 * h + 3} + b * {2 * h + 101} + {h}) AS h{h}"
@@ -676,8 +816,7 @@ def _minhash_oracle_sql(n_hashes: int = 16, n_bands: int = 4) -> str:
                 f"h{h}::VARCHAR"
                 for h in range(b * per_band, (b + 1) * per_band)))
         for b in range(n_bands))
-    return f"""
-WITH w AS (
+    return f"""w AS (
   SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ws
   FROM documents
 ),
@@ -699,14 +838,44 @@ hx AS (
 ),
 bands AS (
   {bands}
-)
+)"""
+
+
+def _minhash_oracle_sql(n_hashes: int = 16, n_bands: int = 4) -> str:
+    """DuckDB replay of q_minhash_bands(portable_hash=True)."""
+    return f"""
+WITH {_minhash_ctes(n_hashes, n_bands)}
 SELECT band, bucket, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
 FROM bands GROUP BY band, bucket HAVING COUNT(*) > 1
 ORDER BY band, bucket
 """
 
 
+def _minhash_est_oracle_sql(n_hashes: int = 16, n_bands: int = 4,
+                            threshold: float = 0.5) -> str:
+    """DuckDB replay of q_minhash_est_pairs (same signature constants)."""
+    agree = " + ".join(f"(x.h{h} = y.h{h})::INT" for h in range(n_hashes))
+    return f"""
+WITH {_minhash_ctes(n_hashes, n_bands)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.a_id, c.b_id,
+         ROUND(({agree}) / {n_hashes}.0, 4) AS est_jaccard
+  FROM cand c
+  JOIN hx x ON x.doc_id = c.a_id
+  JOIN hx y ON y.doc_id = c.b_id
+)
+SELECT a_id, b_id, est_jaccard FROM est
+WHERE est_jaccard >= {threshold} ORDER BY a_id, b_id
+"""
+
+
 ORACLE_MINHASH = _minhash_oracle_sql()
+ORACLE_MINHASH_EST = _minhash_est_oracle_sql()
 
 
 _LANG_STOPS = {
@@ -1523,6 +1692,114 @@ def q_winnow_fingerprint_expr(spark, sf_dir, k: int = 8, w: int = 16):
             .agg(F.count(F.lit(1)).alias("n_fps"),
                  F.min("fp").alias("min_fp"))
             .orderBy("doc_id"))
+
+
+def q_neardup_clusters(spark, sf_dir, threshold: float = 0.4,
+                       band_bits: int | None = None, n_bands: int = 8,
+                       max_iter: int = 25):
+    """Near-duplicate CLUSTER assignment: connected components over the
+    LSH near-dup pair graph -- the step a real dedup pipeline runs after
+    pair generation (keep ONE survivor per cluster, not one per pair;
+    pairwise dedup alone double-drops transitive chains A~B~C).
+
+    Iterative min-label propagation as a driver loop of DataFrame joins:
+    labels(id, label) starts as identity over the pair vertices; each
+    round every vertex takes min(own, neighbors' labels) (edges are the
+    symmetrized pairs); converges in O(component diameter) rounds -- for
+    near-dup clusters diameter is tiny (they are quasi-cliques), so 3-5
+    rounds in practice; `max_iter` bounds adversarial chains (a path
+    graph; large-star/small-star is the known O(log N)-round alternative
+    if that ever matters).  Per round: one ids-only equi-join + partial
+    groupBy-min + localCheckpoint (truncates the growing plan lineage --
+    the standard Spark iterative pattern), one count() as the convergence
+    test.  This is a genuinely iterative operator: driver-side looping IS
+    the algorithm, not a collect()ed hot path -- per-round data stays
+    distributed and ids-only.
+
+    Returns (vec_id, cluster, is_survivor): cluster = min vec_id of the
+    component, survivor = the cluster representative.  The DuckDB oracle
+    replays it with a recursive transitive-closure CTE over the same
+    md5-sign-matrix LSH pairs."""
+    pairs = q_embedding_neardup_lsh(spark, sf_dir, threshold, band_bits,
+                                    n_bands).select("a_id", "b_id")
+    labels = connected_components(pairs, max_iter=max_iter)
+    return (labels.select(
+        F.col("id").alias("vec_id"), F.col("label").alias("cluster"),
+        (F.col("id") == F.col("label")).alias("is_survivor"))
+        .orderBy("vec_id"))
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair list (a_id, b_id) by
+    iterative min-label propagation (see q_neardup_clusters for the scale
+    rationale).  Returns (id, label), label = min id of the component.
+
+    Raises RuntimeError if max_iter rounds did not converge (possible
+    only when some component's diameter exceeds max_iter, e.g. a long
+    path graph) -- a wrong silent clustering is worse than a loud stop;
+    raise max_iter or switch to a doubling scheme for such graphs."""
+    a, b = pairs.columns[:2]
+    edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+             .union(pairs.select(F.col(b).alias("src"),
+                                 F.col(a).alias("dst"))))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        prop = (edges.join(labels, edges.src == labels.id)
+                .select(F.col("dst").alias("id"), "label"))
+        new = (labels.unionAll(prop)
+               .groupBy("id").agg(F.min("label").alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.withColumnRenamed("label", "old"), "id")
+                   .filter(F.col("label") < F.col("old")).count())
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter > max_iter)")
+
+
+def _neardup_clusters_oracle_sql(threshold: float = 0.4, band_bits: int = 4,
+                                 n_bands: int = 8) -> str:
+    """Recursive transitive closure over the same LSH pair graph (identical
+    sign-matrix constants); cluster = min reachable id."""
+    return f"""
+WITH RECURSIVE {_rhp_oracle_ctes(band_bits, n_bands)},
+cpairs AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+),
+csims AS (
+  SELECT p.a_id, p.b_id,
+         ROUND(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+               6) AS sim
+  FROM cpairs p
+  JOIN embeddings ea ON ea.vec_id = p.a_id
+  JOIN embeddings eb ON eb.vec_id = p.b_id
+),
+near AS (SELECT a_id, b_id FROM csims WHERE sim >= {threshold}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM near
+  UNION SELECT b_id, a_id FROM near
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS vec_id,
+       LEAST(src, MIN(dst)) AS cluster,
+       src = LEAST(src, MIN(dst)) AS is_survivor
+FROM reach GROUP BY src ORDER BY vec_id
+"""
+
+
+ORACLE_NEARDUP_CLUSTERS = _neardup_clusters_oracle_sql()
 
 
 ORACLE_WINNOW = f"""

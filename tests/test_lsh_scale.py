@@ -5,12 +5,36 @@ the "scale path" silently degenerates to the crossJoin it replaces."""
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from closure_html_spark.spark.relational import (
     _parquet_n_rows,
     _rhp_bands,
+    connected_components,
     ivf_n_cells,
     lsh_band_bits,
 )
+
+
+def test_connected_components(spark):
+    """Min-label propagation: correct components on a multi-component
+    graph, and a LOUD failure (not a silent wrong clustering) when a
+    component's diameter exceeds max_iter."""
+    # two components: a triangle {0,1,2} and a chain {10..13}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (12, 13)],
+        "a_id long, b_id long")
+    got = {(r["id"], r["label"])
+           for r in connected_components(pairs).collect()}
+    assert got == {(0, 0), (1, 0), (2, 0),
+                   (10, 10), (11, 10), (12, 10), (13, 10)}
+    # a 30-edge path has diameter 30: propagation cannot finish in 5
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=5)
+    full = connected_components(chain, max_iter=40).collect()
+    assert {r["label"] for r in full} == {0}
 
 
 def test_ivf_n_cells_sizing_rule():

@@ -97,6 +97,31 @@ def test_nodes_of_engines_identical(spark):
     assert nav and dict(nav[0][5])["CLASS"] == "menu"
 
 
+def test_tokens_of_engines_identical(spark):
+    """tokens_of engine='arrow' must match the pandas baseline row-for-row,
+    including repeated-attribute dedup (last wins) and bare attributes."""
+    from closure_html_spark.spark.pipeline import tokens_of
+
+    rows = [("u0", bytearray(b'<html><body>'
+                             b'<a href="/1" href="/2" selected>x</a>'
+                             b'<p>t &amp; u</p></body></html>')),
+            ("u1", bytearray(b"<td>bare soup <!-- c -->"))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+
+    def rowset(d):
+        return sorted((r["url"], r["pos"], r["kind"], r["name"],
+                       tuple(sorted((r["attrs"] or {}).items())), r["text"])
+                      for r in d.collect())
+
+    a = rowset(tokens_of(df, engine="arrow"))
+    p = rowset(tokens_of(df, engine="pandas"))
+    assert a == p
+    # raw-lexer attrs are pre-normalization: lowercase names as written
+    dup = [r for r in a if r[4] and dict(r[4]).get("href")]
+    assert dup and dict(dup[0][4])["href"] == "/2"  # last wins
+    assert dict(dup[0][4]).get("selected") == ""    # bare attr -> ""
+
+
 def test_packed_spans_roundtrip(spark):
     """packed_spans=True: the 20 B/span binary packing must decode to
     exactly the struct-form spans, span count must be computable JVM-side

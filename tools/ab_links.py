@@ -33,7 +33,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 def main():
     spark = get_spark(app="ab-links", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
-    pages = pages_from_documents(spark, SF_DIR).repartition(64, "url").cache()
+    # the bench corpus shape (tiled + heavy docs): per-doc node counts in
+    # the hundreds, the regime the nodes_of cost model targets
+    pages = pages_from_documents(spark, SF_DIR, tile=8, variants=4,
+                                 heavy=16).repartition(64, "url").cache()
     pages.count()
 
     def links_new():
