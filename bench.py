@@ -58,9 +58,9 @@ def hw_speed(n_procs: int) -> float:
     samples -- a single 1s sample can catch a throttle edge and invert
     the normalization."""
     with mp.Pool(n_procs) as p:
-        a = float(sum(p.map(_burn, range(n_procs))))
-        b = float(sum(p.map(_burn, range(n_procs))))
-    return max(a, b)
+        samples = [float(sum(p.map(_burn, range(n_procs))))
+                   for _ in range(3)]
+    return max(samples)
 
 
 def rest_until_stable(max_wait: int = 420, probe_procs: int = 4) -> dict:
@@ -79,7 +79,11 @@ def rest_until_stable(max_wait: int = 420, probe_procs: int = 4) -> dict:
         time.sleep(60)
         waited += 60
         probes.append(hw_speed(probe_procs))
-        if probes[-1] <= probes[-2] * 1.08:
+        # stable = consecutive probes AGREE within 8% in either direction;
+        # a dropping probe is a throttle transient, not stability (the
+        # first recorded round-4 run stopped on a 24.4M -> 15.1M drop and
+        # then measured its n2 leg in the trough)
+        if abs(probes[-1] / probes[-2] - 1.0) <= 0.08:
             break
     return {"rested_sec": waited, "hw_probes": [round(p) for p in probes]}
 
@@ -89,6 +93,12 @@ def run_extraction(n_threads: int) -> dict:
     time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "20")))
     spark = get_spark(app=f"bench-n{n_threads}", master=f"local[{n_threads}]",
                       shuffle_partitions=max(n_threads, 8))
+    # 2 tasks/core: measured A/B (BASELINE.md round-4) -- 8 tasks/core
+    # (256 partitions at n32) HALVED the 32-thread leg (13.3k vs 22.6k
+    # d/s): per-task Arrow stream + dispatch overhead dominates once
+    # partitions shrink below ~600 docs.  Coarse tasks win here because
+    # the corpus is uniform; skewed inputs would re-balance via
+    # with_url_bucket/salt_skewed upstream instead.
     n_parts = max(2 * n_threads, 16)
     pages = pages_from_documents(spark, SF_DIR, tile=TILE, variants=4,
                                  heavy=HEAVY)
@@ -162,21 +172,25 @@ def main():
     sequence = [CPUS]
     if SCALING:
         levels = [2, 8, CPUS] if CPUS != 8 else [2, 8]
-        # the scaling-efficiency legs run TWICE, interleaved (2,8,...,8,2):
-        # this VM's throughput drifts between minutes, and a ratio of two
-        # legs taken in different throttle windows is noise -- best-of-two
-        # windows per level keeps the recorded efficiency in the linear
-        # region (each leg is additionally best-of-3 runs internally)
-        # the top level (the headline docs/s) also gets two windows: the
-        # 32-thread regime is where the hypervisor throttle swings 2x
-        sequence = [2, 8, CPUS, 8, 2, CPUS] if CPUS != 8 else [2, 8, 8, 2]
+        # ABBA across the two efficiency levels: the ratio is only
+        # meaningful between TEMPORALLY ADJACENT legs (this VM's capacity
+        # drifts between minutes; the first recorded round-4 runs measured
+        # the n2 leg in the fresh post-rest window and the n8 leg minutes
+        # later under sustained load -- a structural bias AGAINST raw
+        # efficiency).  (2,8) then (8,2) gives two adjacent pairs; the
+        # reported efficiency is the best ADJACENT-pair ratio, not a ratio
+        # of bests from different windows.  The top level (headline
+        # docs/s) gets its own two windows at the end.
+        sequence = [2, 8, 8, 2, CPUS, CPUS] if CPUS != 8 else [2, 8, 8, 2]
     # this VM's aggregate CPU throughput decays under sustained load and
     # recovers after idle (no steal visible); each leg therefore gets a
     # cooldown + an immediately-preceding hardware calibration (hw_speed)
     # so efficiency can be reported both raw and throttle-normalized.
     runs = {}
+    ordered = []
     for n in sequence:
         leg = _run_leg_subprocess(n)
+        ordered.append(leg)
         if n not in runs or leg["docs_per_sec"] > runs[n]["docs_per_sec"]:
             runs[n] = leg
         timings[f"extract_n{n}"] = runs[n]["wall_sec"]
@@ -191,12 +205,24 @@ def main():
         scaling = {"levels": {str(n): runs[n]["docs_per_sec"] for n in levels},
                    "hw_speed": {str(n): runs[n]["hw_speed"] for n in levels}}
 
+        def pair_eff(lo_leg, hi_leg):
+            k = hi_leg["threads"] / lo_leg["threads"]
+            raw = hi_leg["docs_per_sec"] / (k * lo_leg["docs_per_sec"])
+            hw_ratio = hi_leg["hw_speed"] / (k * lo_leg["hw_speed"])
+            return round(raw, 3), \
+                round(raw / hw_ratio, 3) if hw_ratio else None
+
         def eff(lo, hi):
-            raw = runs[hi]["docs_per_sec"] / (
-                (hi / lo) * runs[lo]["docs_per_sec"])
-            # normalize by the hardware capacity each leg actually saw
-            hw_ratio = runs[hi]["hw_speed"] / ((hi / lo) * runs[lo]["hw_speed"])
-            return round(raw, 3), round(raw / hw_ratio, 3) if hw_ratio else None
+            """Best ratio over temporally ADJACENT (lo, hi) leg pairs;
+            falls back to best-per-level if no adjacent pair exists."""
+            pairs = []
+            for x, y in zip(ordered, ordered[1:]):
+                if {x["threads"], y["threads"]} == {lo, hi}:
+                    lo_leg, hi_leg = (x, y) if x["threads"] == lo else (y, x)
+                    pairs.append(pair_eff(lo_leg, hi_leg))
+            if pairs:
+                return max(pairs, key=lambda p: p[0])
+            return pair_eff(runs[lo], runs[hi])
 
         if 2 in runs and 8 in runs:
             raw, norm = eff(2, 8)

@@ -237,3 +237,35 @@ def stream_dedup_urls(pages: DataFrame, n_groups: int = 64,
     frontier (kept as the named operator the tests/docs reference)."""
     return stream_dedup(pages, key_col="url", n_groups=n_groups,
                         m_bits=m_bits)
+
+
+def stream_frontier(pages: DataFrame, n_groups: int = 64,
+                    m_bits: int = 1 << 23) -> DataFrame:
+    """The continuous CRAWL-FRONTIER loop, composed from the existing
+    operators: arriving pages -> extract stage emitting ONLY the `links`
+    column (no text build, no node table) -> explode to outlinks ->
+    resolve relative hrefs against the source host + canonicalize
+    (q_url_canonical's column expressions) -> constant-state Bloom
+    first-seen dedup.  Output = the stream of never-seen-before
+    frontier urls (url, src_url), exactly-once under checkpointing.
+
+    Everything before the stateful dedup is stateless and narrow: the
+    extract stage is the same mapInArrow used in batch, canonicalization
+    is pure column expressions, so the operator scales with source
+    parallelism; only the Bloom state (m_bits/8 bytes x n_groups,
+    forever) persists."""
+    from .relational import _canonical_url
+
+    ext = extract_pages(pages, id_cols=("url",), columns=("links",))
+    out = (ext.select(F.col("url").alias("src_url"),
+                      F.explode("links").alias("href"))
+           # resolve: absolute stays; host-relative joins the source origin
+           .withColumn("abs", F.when(
+               F.col("href").rlike(r"^https?://"), F.col("href"))
+               .otherwise(F.concat(
+                   F.regexp_extract("src_url", r"^(https?://[^/]+)", 1),
+                   F.when(F.col("href").startswith("/"), F.col("href"))
+                    .otherwise(F.concat(F.lit("/"), F.col("href"))))))
+           .select(_canonical_url(F.col("abs")).alias("url"), "src_url"))
+    return stream_dedup(out, key_col="url", n_groups=n_groups,
+                        m_bits=m_bits, out_cols="url string, src_url string")

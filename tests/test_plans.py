@@ -86,6 +86,42 @@ def test_minhash_single_subplan(spark):
     assert plan.count("Location: InMemoryFileIndex") == 1, plan[:500]
 
 
+def test_minhash_est_pairs_plan(spark):
+    """The estimator must be a bucket equi-join over banded candidates +
+    signature joins -- no cartesian, no Python, no per-band union."""
+    plan = plan_of(R.q_minhash_est_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Union" not in plan
+
+
+def test_paragraph_clean_single_chunk_shuffle(spark):
+    """q_paragraph_dedup_clean: exactly one window (the chunk-ownership
+    min) and no Python; the document text is scanned, chunked, and
+    re-aggregated without a second pass over full text."""
+    plan = plan_of(R.q_paragraph_dedup_clean(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Window") <= 2  # ownership min (+details repeat)
+    assert "CartesianProduct" not in plan
+
+
+def test_extract_links_no_node_table(spark, tmp_path_factory):
+    """extract_links must NOT route through the exploded nodes stage: the
+    plan is scan -> mapInArrow (links column) -> projection, with no
+    Generate/explode before the stage and no groupBy shuffle over
+    per-node rows (only the final per-doc sort remains)."""
+    from closure_html_spark.spark.pages import pages_from_documents
+    import __spark_entry__ as entry
+    df = entry.queries()["extract_links"](spark, SF)
+    plan = plan_of(df)
+    assert "MapInArrow" in plan
+    # no per-node explode (posexplode in nodes_of) and no aggregation
+    # shuffle: size/array_sort run per-row on the links array
+    assert "Generate" not in plan
+    assert "HashAggregate" not in plan
+
+
 def test_embedding_neardup_lsh_no_cartesian(spark):
     """The near-dup scale path must be a bucket equi-join, never a
     cartesian/broadcast-nested-loop over the full vector table."""

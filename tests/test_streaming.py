@@ -198,6 +198,63 @@ def test_stream_sessionize_stateful(spark, tmp_path_factory):
     assert all(s <= e for _, s, e, _ in got), got
 
 
+def test_stream_frontier(spark, staged_pages, tmp_path_factory):
+    """Composed crawl-frontier loop: pages stream -> links-only extract ->
+    resolve+canonicalize -> Bloom first-seen dedup.  Template 0 pages link
+    to /, /about, /c, so wave 1 must emit exactly 3 canonical urls per
+    distinct host; re-feeding the same pages across a restart emits
+    nothing new; a page on a brand-new host adds exactly 3."""
+    from closure_html_spark.spark.streaming import stream_frontier
+
+    input_dir, _ = staged_pages
+    in_dir = str(tmp_path_factory.mktemp("frontier_in"))
+    out_dir = str(tmp_path_factory.mktemp("frontier_out"))
+    ckpt = str(tmp_path_factory.mktemp("frontier_ckpt"))
+    # copy wave 1 in (staged_pages dir is shared with other tests)
+    spark.read.parquet(input_dir).write.mode("append").parquet(in_dir)
+    n_hosts = (spark.read.parquet(input_dir)
+               .select(F.regexp_extract("url", r"https://([^/]+)/", 1))
+               .distinct().count())
+
+    def run():
+        stream = (spark.readStream
+                  .schema("url string, warc_ts timestamp, html binary, "
+                          "text string, lang string, doc_id long")
+                  .parquet(in_dir))
+        q = (stream_frontier(stream, n_groups=8)
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 3 * n_hosts, (got.count(), n_hosts)
+    assert got.select("url").distinct().count() == 3 * n_hosts
+    # canonicalization: "/" collapses to the bare origin (trailing slash
+    # stripped), "/about" keeps its path
+    urls = {r["url"] for r in got.collect()}
+    assert any(u.endswith(".example") for u in urls)
+    assert any(u.endswith("/about") for u in urls)
+
+    # wave 2: same pages again (re-crawl) + one page on a new host
+    spark.read.parquet(input_dir).write.mode("append").parquet(in_dir)
+    new_page = [("https://brandnew.example/p", None,
+                 bytearray(b'<html><body><a href="/x">x</a>'
+                           b'<a href="https://brandnew.example/y">y</a>'
+                           b'<a href="/x#frag">dup after canon</a>'
+                           b'</body></html>'), "", "en", 10**9)]
+    spark.createDataFrame(
+        new_page, "url string, warc_ts timestamp, html binary, "
+                  "text string, lang string, doc_id long") \
+        .write.mode("append").parquet(in_dir)
+    run()
+    got = spark.read.parquet(out_dir)
+    # only the 2 canonical urls of the new host are new (x, y; the
+    # fragment variant canonicalizes onto /x)
+    assert got.count() == 3 * n_hosts + 2, got.count()
+
+
 def test_stream_sessionize_watermark_drops_stragglers(spark,
                                                       tmp_path_factory):
     """watermark= variant: an event older than the checkpointed event-time
