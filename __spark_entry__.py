@@ -214,6 +214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": R.q_minhash_bands,
         # MinHash estimator over banded candidates (signatures-only join)
         "minhash_est_pairs": R.q_minhash_est_pairs,
+        # text-side pipeline end: clusters + survivors over the estimated
+        # pair graph (doc_id counterpart of neardup_clusters)
+        "text_dedup_clusters": R.q_text_dedup_clusters,
         "lang_id": R.q_lang_id,
         "mime_class": R.q_mime_class,
         "simhash": R.q_simhash,
@@ -342,6 +345,7 @@ SELECT * FROM (
         "simhash": R.ORACLE_SIMHASH,
         "minhash_bands": R.ORACLE_MINHASH,
         "minhash_est_pairs": R.ORACLE_MINHASH_EST,
+        "text_dedup_clusters": R.ORACLE_TEXT_DEDUP_CLUSTERS,
         "embedding_neardup": R.ORACLE_EMBEDDING_NEARDUP,
         # the LSH oracles replay the md5-derived hyperplane sign matrix
         # bit-for-bit (constants baked into both plans); band_bits=4 in the

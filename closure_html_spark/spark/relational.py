@@ -878,6 +878,64 @@ ORACLE_MINHASH = _minhash_oracle_sql()
 ORACLE_MINHASH_EST = _minhash_est_oracle_sql()
 
 
+def q_text_dedup_clusters(spark, sf_dir, threshold: float = 0.7,
+                          n_hashes: int = 16, n_bands: int = 4,
+                          max_iter: int = 25):
+    """The complete TEXT near-dup pipeline end: MinHash banding proposes
+    candidates, the signature estimator scores them (q_minhash_est_pairs),
+    and connected components assign every involved document to a cluster
+    with one survivor -- the doc_id-level counterpart of
+    q_neardup_clusters (which runs on embeddings).  Everything before the
+    iterative clustering is a single signatures-only job; the cluster
+    loop touches only the (tiny) pair graph."""
+    pairs = q_minhash_est_pairs(spark, sf_dir, n_hashes, n_bands,
+                                threshold).select("a_id", "b_id")
+    labels = connected_components(pairs, max_iter=max_iter)
+    return (labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster"),
+        (F.col("id") == F.col("label")).alias("is_survivor"))
+        .orderBy("doc_id"))
+
+
+def _text_dedup_clusters_oracle_sql(threshold: float = 0.7,
+                                    n_hashes: int = 16,
+                                    n_bands: int = 4) -> str:
+    """Recursive closure over the MinHash-estimated pair graph (same
+    signature constants as ORACLE_MINHASH_EST)."""
+    agree = " + ".join(f"(x.h{h} = y.h{h})::INT" for h in range(n_hashes))
+    return f"""
+WITH RECURSIVE {_minhash_ctes(n_hashes, n_bands)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+near AS (
+  SELECT c.a_id, c.b_id
+  FROM cand c
+  JOIN hx x ON x.doc_id = c.a_id
+  JOIN hx y ON y.doc_id = c.b_id
+  WHERE ROUND(({agree}) / {n_hashes}.0, 4) >= {threshold}
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM near
+  UNION SELECT b_id, a_id FROM near
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       LEAST(src, MIN(dst)) AS cluster,
+       src = LEAST(src, MIN(dst)) AS is_survivor
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+ORACLE_TEXT_DEDUP_CLUSTERS = _text_dedup_clusters_oracle_sql()
+
+
 _LANG_STOPS = {
     "en": r"\b(the|and|of|is|to)\b",
     "de": r"\b(der|die|das|und|ist)\b",
