@@ -25,6 +25,8 @@ from closure_html_spark.spark.pages import (
     ORACLE_EXTRACTED_TEXT,
     ORACLE_MAIN_TEXT,
     ORACLE_TITLE,
+    ORACLE_VARIANT_NSPANS,
+    ORACLE_VARIANT_PREFIX,
     pages_from_documents,
 )
 from closure_html_spark.spark.multimodal import (
@@ -152,6 +154,37 @@ def _q_extract_links(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def _q_extract_text_variants(spark, sf_dir):
+    """Tag-soup repair under the hard correctness signal: replay extraction
+    over the 4-template variant corpus (tile=4/variants=4 -- the same corpus
+    warn_histogram counts) and check the repaired EXTRACTED TEXT per page.
+    The soup wrappers of templates 1-3 are constants, so each variant's
+    output is a closed-form prefix + the template-0 closed form; any drift
+    in the ~25 heuristic repair rules / resolve insertions / post-mortem
+    merge shifts the text and breaks the oracle loudly (round-4 verdict
+    next-round #1)."""
+    pages = pages_from_documents(spark, sf_dir, tile=4, variants=4)
+    ext = extract_pages(pages, id_cols=("doc_id", "rep"))
+    return (ext.select(
+        "doc_id", "rep", "extracted_text",
+        F.size("spans").alias("n_spans"))
+        .orderBy("doc_id", "rep"))
+
+
+def _q_extract_links_variants(spark, sf_dir):
+    """Variants twin of extract_links: every template carries exactly the
+    three core hrefs (/, /about, /c) regardless of surrounding soup -- the
+    oracle breaks if repair ever drops or duplicates an A node inside a
+    mis-nested table/list/font wrapper."""
+    pages = pages_from_documents(spark, sf_dir, tile=4, variants=4)
+    ext = extract_pages(pages, id_cols=("doc_id", "rep"), columns=("links",))
+    return (ext.select(
+        "doc_id", "rep",
+        F.size("links").cast("long").alias("n_links"),
+        F.array_join(F.array_sort("links"), ",").alias("hrefs"))
+        .orderBy("doc_id", "rep"))
+
+
 def _q_nodes_histogram(spark, sf_dir):
     """DOM-node name histogram over the parsed corpus -- the exploded nodes
     table as a relational surface.  Template 0 node mix is deterministic."""
@@ -175,6 +208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_histogram": _q_tokens_histogram,
         "warn_histogram": _q_warn_histogram,
         "host_stats": _q_host_stats,
+        # tag-soup repair under the oracle (variant templates 1-3)
+        "extract_text_variants": _q_extract_text_variants,
+        "extract_links_variants": _q_extract_links_variants,
         # relational shell (SURVEY.md §2.10)
         "pricing_summary": R.q_pricing_summary,
         "top_revenue_nations": R.q_top_revenue_nations,
@@ -319,6 +355,27 @@ SELECT * FROM (
         "extract_links": (
             "SELECT doc_id, CAST(3 AS BIGINT) AS n_links, "
             "'/,/about,/c' AS hrefs FROM documents ORDER BY doc_id"),
+        # variant corpus: 4 reps/doc, variant = (doc_id+rep)%4; each
+        # variant's repaired extraction is a fixed soup prefix + the
+        # template-0 closed form (constants measured against the parser,
+        # kept in pages.py next to the templates)
+        "extract_text_variants": f"""
+WITH p AS (
+  SELECT doc_id, r.rep, text
+  FROM documents, (SELECT UNNEST([0,1,2,3]) AS rep) r
+)
+SELECT doc_id, rep,
+       {ORACLE_VARIANT_PREFIX}
+         || 'home about' || text || 'contact © 2026' AS extracted_text,
+       CAST({ORACLE_VARIANT_NSPANS} AS INT) AS n_spans
+FROM p ORDER BY doc_id, rep
+""",
+        "extract_links_variants": """
+SELECT doc_id, r.rep, CAST(3 AS BIGINT) AS n_links,
+       '/,/about,/c' AS hrefs
+FROM documents, (SELECT UNNEST([0,1,2,3]) AS rep) r
+ORDER BY doc_id, rep
+""",
         "pricing_summary": R.ORACLE_PRICING,
         "top_revenue_nations": R.ORACLE_TOP_REVENUE,
         "order_priority": R.ORACLE_ORDER_PRIORITY,

@@ -113,6 +113,7 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
         F.col("text"),
         F.col("lang"),
         F.col("doc_id"),
+        F.col("rep"),
     )
 
 
@@ -121,3 +122,21 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
 ORACLE_EXTRACTED_TEXT = "'home about' || text || 'contact © 2026'"
 ORACLE_MAIN_TEXT = "text"
 ORACLE_TITLE = "'Doc ' || CAST(doc_id AS VARCHAR)"
+
+# Variant-corpus closed forms (tile/variants cycle: variant = (doc_id+rep)%4).
+# The tag-soup wrappers of templates 1-3 are constants, so the REPAIRED
+# extraction output is still an exact SQL function of `documents`: each
+# variant contributes a fixed text prefix ahead of the nav/core (measured
+# against the parser; a drift in any repair rule shifts these and breaks the
+# extract_text_variants oracle loudly).  chr(160) is the decoded &nbsp;.
+ORACLE_VARIANT_PREFIX = (
+    "CASE (doc_id + rep) % 4 "
+    "WHEN 1 THEN 'leftx' "
+    "WHEN 2 THEN 'bullet onetwo ' || chr(160) || '&bogus; ABthree' "
+    "WHEN 3 THEN 'headerTitle' "
+    "ELSE '' END")
+# span counts: v0 nav/text/footer; v1 +left,x; v2 +bullet,two,three;
+# v3 +header,Title -- minus the text span when the document text is empty
+ORACLE_VARIANT_NSPANS = (
+    "CASE (doc_id + rep) % 4 WHEN 0 THEN 2 WHEN 2 THEN 5 ELSE 4 END "
+    "+ CASE WHEN LENGTH(text) > 0 THEN 1 ELSE 0 END")
