@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_clean_50": lambda s, d: R.q_paragraph_dedup_clean(
             s, d, chunk_words=50),
         "url_canonical": R.q_url_canonical,
+        # the frontier's RFC 3986 link resolution, replayed in batch
+        "resolve_href": R.q_resolve_href,
         "token_stats": R.q_token_stats,
         "quality_score": R.q_quality_score,
         "gopher_quality": R.q_gopher_quality,
@@ -388,6 +390,7 @@ ORDER BY doc_id, rep
         "paragraph_dedup_50": R.ORACLE_PARAGRAPH_DEDUP_50,
         "paragraph_clean_50": R.ORACLE_PARAGRAPH_CLEAN_50,
         "url_canonical": R.ORACLE_URL_CANONICAL,
+        "resolve_href": R.ORACLE_RESOLVE_HREF,
         "token_stats": R.ORACLE_TOKEN_STATS,
         "quality_score": R.ORACLE_QUALITY,
         "gopher_quality": R.ORACLE_GOPHER,

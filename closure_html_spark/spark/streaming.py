@@ -249,23 +249,27 @@ def stream_frontier(pages: DataFrame, n_groups: int = 64,
     first-seen dedup.  Output = the stream of never-seen-before
     frontier urls (url, src_url), exactly-once under checkpointing.
 
-    Everything before the stateful dedup is stateless and narrow: the
-    extract stage is the same mapInArrow used in batch, canonicalization
-    is pure column expressions, so the operator scales with source
-    parallelism; only the Bloom state (m_bits/8 bytes x n_groups,
-    forever) persists."""
-    from .relational import _canonical_url
+    href resolution is full RFC 3986 (resolve_href, urljoin-pinned):
+    document-relative paths resolve against the source URL's path with
+    ./..// normalization, protocol-relative links adopt the source
+    scheme, a <base href> (emitted by the extract stage's own walk --
+    the reference's fixture pins a BASE node, test.lisp:5-18) overrides
+    the source as resolution base, and non-http(s) schemes (mailto:,
+    javascript:, ...) are dropped.
 
-    ext = extract_pages(pages, id_cols=("url",), columns=("links",))
-    out = (ext.select(F.col("url").alias("src_url"),
+    Everything before the stateful dedup is stateless and narrow: the
+    extract stage is the same mapInArrow used in batch, resolution +
+    canonicalization are pure column expressions, so the operator scales
+    with source parallelism; only the Bloom state (m_bits/8 bytes x
+    n_groups, forever) persists."""
+    from .relational import _canonical_url, resolve_href
+
+    ext = extract_pages(pages, id_cols=("url",), columns=("links", "base"))
+    out = (ext.select(F.col("url").alias("src_url"), "base",
                       F.explode("links").alias("href"))
-           # resolve: absolute stays; host-relative joins the source origin
-           .withColumn("abs", F.when(
-               F.col("href").rlike(r"^https?://"), F.col("href"))
-               .otherwise(F.concat(
-                   F.regexp_extract("src_url", r"^(https?://[^/]+)", 1),
-                   F.when(F.col("href").startswith("/"), F.col("href"))
-                    .otherwise(F.concat(F.lit("/"), F.col("href"))))))
+           .withColumn("abs", resolve_href(
+               F.col("src_url"), F.col("href"), base=F.col("base")))
+           .filter(F.col("abs").isNotNull())
            .select(_canonical_url(F.col("abs")).alias("url"), "src_url"))
     return stream_dedup(out, key_col="url", n_groups=n_groups,
                         m_bits=m_bits, out_cols="url string, src_url string")

@@ -98,12 +98,16 @@ def test_minhash_est_pairs_plan(spark):
 
 def test_paragraph_clean_single_chunk_shuffle(spark):
     """q_paragraph_dedup_clean: exactly one window (the chunk-ownership
-    min) and no Python; the document text is scanned, chunked, and
-    re-aggregated without a second pass over full text."""
+    min) and no Python -- and the ownership exchange is keyed on the
+    16-byte md5 hash with NO chunk-text column anywhere in the plan
+    (round-4 verdict wrong #4): text moves only on the docs side of the
+    final doc_id join."""
     plan = plan_of(R.q_paragraph_dedup_clean(spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Window") <= 2  # ownership min (+details repeat)
     assert "CartesianProduct" not in plan
+    assert "hashpartitioning(h" in plan      # window keyed on the hash
+    assert "chunk" not in plan               # chunk text never a column
 
 
 def test_extract_links_no_node_table(spark, tmp_path_factory):

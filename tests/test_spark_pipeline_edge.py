@@ -4,13 +4,21 @@ batches are bounded by rows AND bytes in session.py)."""
 
 from pyspark.sql import functions as F
 
-from closure_html_spark.spark.pipeline import extract_pages, nodes_of
+from closure_html_spark.spark.pipeline import (
+    RESULT_COL_DDL,
+    extract_pages,
+    nodes_of,
+)
+
+ALL_COLS = tuple(RESULT_COL_DDL)
 
 
 def test_arrow_engine_identical_to_pandas(spark):
     """engine='arrow' (mapInArrow, direct pyarrow column assembly -- the
     default) must be value-identical to the round-2 mapInPandas baseline,
-    including the error row path and content_type handling."""
+    including the error row path and content_type handling.  The arrow
+    side requests every column explicitly (links/base left the default
+    set); the pandas baseline always emits all of them."""
     rows = [("u0", bytearray(b"<html><body><p>a &amp; b</p></body></html>"),
              "text/html; charset=utf-8"),
             ("u1", bytearray("<p>caf\xe9".encode("latin-1")),
@@ -19,7 +27,8 @@ def test_arrow_engine_identical_to_pandas(spark):
             ("u3", bytearray(b"<table><td>x<ul>soup"), None)]
     df = spark.createDataFrame(
         rows, "url string, html binary, content_type string")
-    a = extract_pages(df, engine="arrow").orderBy("url").collect()
+    a = extract_pages(df, engine="arrow", columns=ALL_COLS) \
+        .orderBy("url").collect()
     p = extract_pages(df, engine="pandas").orderBy("url").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in p]
     assert a[1]["extracted_text"] == "caf\xe9"
@@ -59,7 +68,7 @@ def test_links_column(spark):
     df = spark.createDataFrame(
         rows, "url string, html binary, content_type string")
     a = {r["url"]: r["links"]
-         for r in extract_pages(df, engine="arrow").collect()}
+         for r in extract_pages(df, columns=ALL_COLS).collect()}
     assert a["u0"] == ["/z", "/a", "/z"]   # document order, dups kept
     assert a["u1"] == []
     assert a["u2"] == []                   # empty/error doc -> []
@@ -70,6 +79,57 @@ def test_links_column(spark):
     proj = extract_pages(df, columns=("links",))
     assert set(proj.columns) == {"url", "links"}
     assert {r["url"]: r["links"] for r in proj.collect()} == a
+    # the default column set excludes links/base (second-walk payloads)
+    assert "links" not in extract_pages(df).columns
+    assert "base" not in extract_pages(df).columns
+
+
+def test_base_column(spark):
+    """The `base` result column: href of the first BASE node (the
+    reference's own fixture pins BASE in HEAD, test.lisp:5-18); absent
+    base -> null; first BASE wins; both engines agree."""
+    rows = [
+        ("u0", bytearray(b'<html><head><base href="https://cdn.example/a/">'
+                         b'</head><body><a href=x.html>x</a></body></html>')),
+        ("u1", bytearray(b'<html><head><base href="/one"><base href="/two">'
+                         b'</head><body>t</body></html>')),
+        ("u2", bytearray(b"<p>no base")),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    a = {r["url"]: r["base"]
+         for r in extract_pages(df, columns=("links", "base")).collect()}
+    assert a["u0"] == "https://cdn.example/a/"
+    assert a["u1"] == "/one"
+    assert a["u2"] is None
+    p = {r["url"]: r["base"]
+         for r in extract_pages(df, engine="pandas").collect()}
+    assert p == a
+
+
+def test_error_row_mid_batch_alignment(spark):
+    """A document whose processing raises mid-batch (null html -> bytes()
+    TypeError) must yield exactly one error row and leave every later row
+    aligned -- the staged-locals/single-append structure makes interleaved
+    appends impossible (round-4 verdict #3)."""
+    rows = [("u0", bytearray(b"<html><body><p>first ok</p></body></html>")),
+            ("u1", None),
+            ("u2", bytearray(b"<html><body><p>third ok</p></body></html>"))]
+    df = spark.createDataFrame(rows, "url string, html binary").coalesce(1)
+    got = {r["url"]: r for r in
+           extract_pages(df, columns=ALL_COLS).collect()}
+    assert got["u1"]["charset"].startswith("error:")
+    assert got["u1"]["title"] == "" and got["u1"]["spans"] == []
+    assert got["u1"]["links"] == [] and got["u1"]["base"] is None
+    assert got["u1"]["n_warns"] == -1
+    # neighbors unshifted
+    assert got["u0"]["extracted_text"] == "first ok"
+    assert got["u2"]["extracted_text"] == "third ok"
+    assert not got["u0"]["charset"].startswith("error:")
+    assert not got["u2"]["charset"].startswith("error:")
+    # pandas baseline path behaves identically
+    gp = {r["url"]: r for r in extract_pages(df, engine="pandas").collect()}
+    assert gp["u1"]["charset"].startswith("error:")
+    assert gp["u2"]["extracted_text"] == "third ok"
 
 
 def test_nodes_of_engines_identical(spark):

@@ -239,10 +239,14 @@ def test_stream_frontier(spark, staged_pages, tmp_path_factory):
 
     # wave 2: same pages again (re-crawl) + one page on a new host
     spark.read.parquet(input_dir).write.mode("append").parquet(in_dir)
-    new_page = [("https://brandnew.example/p", None,
+    new_page = [("https://brandnew.example/d/p.html", None,
                  bytearray(b'<html><body><a href="/x">x</a>'
                            b'<a href="https://brandnew.example/y">y</a>'
                            b'<a href="/x#frag">dup after canon</a>'
+                           b'<a href="sub/page.html">doc-relative</a>'
+                           b'<a href="../x">parent-relative dup of /x</a>'
+                           b'<a href="javascript:void(0)">dropped</a>'
+                           b'<a href="mailto:a@b.c">dropped</a>'
                            b'</body></html>'), "", "en", 10**9)]
     spark.createDataFrame(
         new_page, "url string, warc_ts timestamp, html binary, "
@@ -250,9 +254,12 @@ def test_stream_frontier(spark, staged_pages, tmp_path_factory):
         .write.mode("append").parquet(in_dir)
     run()
     got = spark.read.parquet(out_dir)
-    # only the 2 canonical urls of the new host are new (x, y; the
-    # fragment variant canonicalizes onto /x)
-    assert got.count() == 3 * n_hosts + 2, got.count()
+    # only 3 canonical urls of the new host are new: /x (fragment and
+    # ../x variants collapse onto it), /y, and the RFC-resolved
+    # /d/sub/page.html; the javascript:/mailto: links are dropped
+    assert got.count() == 3 * n_hosts + 3, got.count()
+    urls = {r["url"] for r in got.collect()}
+    assert "https://brandnew.example/d/sub/page.html" in urls
 
 
 def test_stream_sessionize_watermark_drops_stragglers(spark,
