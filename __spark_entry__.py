@@ -255,6 +255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text-side pipeline end: clusters + survivors over the estimated
         # pair graph (doc_id counterpart of neardup_clusters)
         "text_dedup_clusters": R.q_text_dedup_clusters,
+        # the kept corpus: survivors + untouched docs with their text
+        "text_dedup_clean": R.q_text_dedup_clean,
         "lang_id": R.q_lang_id,
         "mime_class": R.q_mime_class,
         "simhash": R.q_simhash,
@@ -406,6 +408,7 @@ ORDER BY doc_id, rep
         "minhash_bands": R.ORACLE_MINHASH,
         "minhash_est_pairs": R.ORACLE_MINHASH_EST,
         "text_dedup_clusters": R.ORACLE_TEXT_DEDUP_CLUSTERS,
+        "text_dedup_clean": R.ORACLE_TEXT_DEDUP_CLEAN,
         "embedding_neardup": R.ORACLE_EMBEDDING_NEARDUP,
         # the LSH oracles replay the md5-derived hyperplane sign matrix
         # bit-for-bit (constants baked into both plans); band_bits=4 in the

@@ -1094,6 +1094,68 @@ FROM reach GROUP BY src ORDER BY doc_id
 ORACLE_TEXT_DEDUP_CLUSTERS = _text_dedup_clusters_oracle_sql()
 
 
+def q_text_dedup_clean(spark, sf_dir, threshold: float = 0.7,
+                       n_hashes: int = 16, n_bands: int = 4,
+                       max_iter: int = 25):
+    """The doc-level CLEAN OUTPUT of the text near-dup pipeline -- the
+    transform a training-data pipeline actually ships (mirroring
+    q_paragraph_dedup_clean at document granularity): every document that
+    is either untouched by the pair graph or its cluster's survivor, with
+    its text.  Non-survivors are a tiny ids-only frame (one row per
+    dropped doc), so the anti-join broadcasts and the text payload never
+    enters a shuffle."""
+    pairs = q_minhash_est_pairs(spark, sf_dir, n_hashes, n_bands,
+                                threshold).select("a_id", "b_id")
+    labels = connected_components(pairs, max_iter=max_iter)
+    losers = labels.filter(F.col("id") != F.col("label")) \
+                   .select(F.col("id").alias("doc_id"))
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.join(F.broadcast(losers), "doc_id", "left_anti")
+            .select("doc_id", "text").orderBy("doc_id"))
+
+
+def _text_dedup_clean_oracle_sql(threshold: float = 0.7,
+                                 n_hashes: int = 16,
+                                 n_bands: int = 4) -> str:
+    """Survivor anti-join over the same recursive pair-graph closure as
+    ORACLE_TEXT_DEDUP_CLUSTERS."""
+    agree = " + ".join(f"(x.h{h} = y.h{h})::INT" for h in range(n_hashes))
+    return f"""
+WITH RECURSIVE {_minhash_ctes(n_hashes, n_bands)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+near AS (
+  SELECT c.a_id, c.b_id
+  FROM cand c
+  JOIN hx x ON x.doc_id = c.a_id
+  JOIN hx y ON y.doc_id = c.b_id
+  WHERE ROUND(({agree}) / {n_hashes}.0, 4) >= {threshold}
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM near
+  UNION SELECT b_id, a_id FROM near
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+losers AS (
+  SELECT src AS doc_id FROM reach GROUP BY src
+  HAVING src <> LEAST(src, MIN(dst))
+)
+SELECT d.doc_id, d.text FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY d.doc_id
+"""
+
+
+ORACLE_TEXT_DEDUP_CLEAN = _text_dedup_clean_oracle_sql()
+
+
 _LANG_STOPS = {
     "en": r"\b(the|and|of|is|to)\b",
     "de": r"\b(der|die|das|und|ist)\b",
@@ -1727,7 +1789,7 @@ ORACLE_ANN_LSH = _ann_lsh_oracle_sql()
 
 def q_ann_ivf_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
                    n_cells: int | None = None, n_probe: int = 4,
-                   n_rows: int | None = None):
+                   n_rows: int | None = None, kmeans_iters: int = 0):
     """IVF-Flat approximate top-k: the coarse-quantizer counterpart to the
     RHP-LSH path.  Vectors partition into n_cells Voronoi cells around
     DETERMINISTIC sampled centroids (every ceil(N/n_cells)-th vec_id --
@@ -1741,7 +1803,19 @@ def q_ann_ivf_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
     and rerank touch only candidate cells.  n_cells defaults to
     ivf_n_cells(N) ~ sqrt(N) (cell occupancy sqrt(N) => probe cost
     n_probe*sqrt(N), sublinear); N comes from parquet footer stats, no
-    scan job -- pass n_rows or n_cells for non-local-parquet inputs."""
+    scan job -- pass n_rows or n_cells for non-local-parquet inputs.
+
+    kmeans_iters > 0 refines the sampled centroids with that many Lloyd
+    iterations before the index build (the FAISS IVF training step):
+    assign every vector to its nearest current centroid (broadcast
+    crossJoin + map-side-combined max_by, embeddings shuffled ONCE per
+    iteration -- the cost any distributed k-means pays), then recompute
+    each cell's centroid as the per-dimension mean (posexplode + partial
+    avg: the wide exchange carries ~n_cells x dim rows per map
+    partition).  Deterministic given the sampled seeds up to float
+    summation order; the correctness gate therefore pins kmeans_iters=0
+    (bit-exact oracle replay) and tests/test_lsh_scale.py pins that
+    refinement does not lose recall at equal n_probe."""
     import math
     emb = _t(spark, sf_dir, "embeddings")
     n = _embeddings_n_rows(emb, sf_dir, n_rows)
@@ -1757,6 +1831,27 @@ def q_ann_ivf_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
                      norm(F.col("embedding")).alias("c_norm")))
     ev = emb.select("vec_id", "embedding",
                     norm(F.col("embedding")).alias("v_norm"))
+    for _ in range(kmeans_iters):
+        sim_i = F.round(_dot_expr(F.col("embedding"), F.col("c_emb")) /
+                        (F.col("v_norm") * F.col("c_norm")), 6)
+        asg = (ev.crossJoin(F.broadcast(cents))
+               .select("vec_id", "embedding",
+                       F.col("c_id"),
+                       F.struct(sim_i.alias("s"),
+                                (-F.col("c_id")).alias("nc")).alias("o"))
+               .groupBy("vec_id")
+               .agg(F.max_by("c_id", F.col("o")).alias("cell"),
+                    F.first("embedding").alias("embedding")))
+        dims = (asg.select("cell", F.posexplode("embedding")
+                           .alias("d", "x"))
+                .groupBy("cell", "d")
+                .agg(F.avg(F.col("x").cast("double")).alias("m")))
+        cents = (dims.groupBy("cell")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("d", "m"))),
+                     lambda s: s["m"]).alias("c_emb"))
+                 .select(F.col("cell").alias("c_id"), "c_emb",
+                         norm(F.col("c_emb")).alias("c_norm")))
     sim_c = F.round(_dot_expr(F.col("embedding"), F.col("c_emb")) /
                     (F.col("v_norm") * F.col("c_norm")), 6)
     pairs = (ev.crossJoin(F.broadcast(cents))

@@ -105,3 +105,26 @@ def test_lsh_bucket_occupancy_and_candidate_count(spark):
     assert occ["max_c"] <= 8 * expected_occupancy
     # and the model itself is far below all-pairs at this N
     assert occ["pairs"] < 0.5 * N * (N - 1) / 2
+
+
+def test_ivf_kmeans_refinement_improves_recall(spark):
+    """Lloyd refinement of the deterministic-sample IVF centroids must not
+    lose recall at equal n_probe on the pinned corpus -- and on this
+    corpus it strictly gains (0.533 -> 0.733 @ k=5, measured when the
+    feature landed).  The gate itself pins kmeans_iters=0 so the DuckDB
+    oracle replays the index bit-for-bit; this test owns the refined
+    path."""
+    from closure_html_spark.spark import relational as R
+    SF = "/root/testdata/sf0.001"
+    exact = {(r["q_id"], r["vec_id"])
+             for r in R.q_ann_cosine_topk(spark, SF, k=5).collect()}
+    base = {(r["q_id"], r["vec_id"])
+            for r in R.q_ann_ivf_topk(spark, SF, k=5,
+                                      kmeans_iters=0).collect()}
+    refined = {(r["q_id"], r["vec_id"])
+               for r in R.q_ann_ivf_topk(spark, SF, k=5,
+                                         kmeans_iters=2).collect()}
+    r0 = len(base & exact) / len(exact)
+    r2 = len(refined & exact) / len(exact)
+    assert r2 >= r0, f"refinement lost recall: {r2} < {r0}"
+    assert r2 > 0.6, f"refined recall collapsed: {r2}"
