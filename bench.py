@@ -54,9 +54,9 @@ def hw_speed(n_procs: int) -> float:
     """Aggregate busy-loop iterations across n_procs for 1s: samples the
     VM's CURRENT effective CPU capacity at that concurrency (this box's
     throughput decays under sustained load and recovers after idle, so
-    each timed leg is calibrated immediately before it runs).  Best of two
-    samples -- a single 1s sample can catch a throttle edge and invert
-    the normalization."""
+    each timed leg is calibrated immediately before it runs).  Best of
+    THREE samples -- a single 1s sample can catch a throttle edge and
+    invert the normalization."""
     with mp.Pool(n_procs) as p:
         samples = [float(sum(p.map(_burn, range(n_procs))))
                    for _ in range(3)]
@@ -79,10 +79,11 @@ def rest_until_stable(max_wait: int = 420, probe_procs: int = 4) -> dict:
         time.sleep(60)
         waited += 60
         probes.append(hw_speed(probe_procs))
-        # stable = consecutive probes AGREE within 8% in either direction;
-        # a dropping probe is a throttle transient, not stability (the
-        # first recorded round-4 run stopped on a 24.4M -> 15.1M drop and
-        # then measured its n2 leg in the trough)
+        # stable = consecutive probes agree within a SYMMETRIC 8% band
+        # (capacity no longer climbing).  A big drop (like round-4's
+        # 24.4M -> 15.1M) exceeds the band and keeps waiting; a small
+        # (<8%) drop is accepted as settled -- insisting that drops never
+        # terminate the wait would stall on this box's normal jitter.
         if abs(probes[-1] / probes[-2] - 1.0) <= 0.08:
             break
     return {"rested_sec": waited, "hw_probes": [round(p) for p in probes]}
@@ -128,15 +129,19 @@ def run_extraction(n_threads: int) -> dict:
     # new session pays JIT/codegen warmup that a long-running production
     # job amortizes away, and this VM's throttle can still clip one run --
     # a third repeat keeps the recorded leg in the linear region
-    wall = float("inf")
+    obr = os.environ.get("SPARK_GRAFT_OUT_BATCH_ROWS")
+    obr = int(obr) if obr else None
+    walls = []
     for _ in range(3):
         t0 = time.time()
-        ext = extract_pages(pages, id_cols=("url",))
+        ext = extract_pages(pages, id_cols=("url",), out_batch_rows=obr)
         ext.agg(F.sum(F.length("extracted_text")),
                 F.sum(F.size("spans")), F.sum("n_nodes")).collect()
-        wall = min(wall, time.time() - t0)
+        walls.append(round(time.time() - t0, 3))
+    wall = min(walls)
     spark.stop()
-    return {"threads": n_threads, "wall_sec": round(wall, 3),
+    return {"threads": n_threads, "wall_sec": wall,
+            "wall_samples": walls,  # the spread behind the selected min
             "docs_per_sec": round(n_docs / wall, 1), "n_docs": int(n_docs),
             "avg_doc_bytes": int(total_bytes / n_docs),
             "mb_per_sec": round(total_bytes / wall / 1e6, 1),
@@ -216,25 +221,39 @@ def main():
                 round(raw / hw_ratio, 3) if hw_ratio else None
 
         def eff(lo, hi):
-            """Best ratio over temporally ADJACENT (lo, hi) leg pairs;
-            falls back to best-per-level if no adjacent pair exists."""
+            """Best ratio over temporally ADJACENT (lo, hi) leg pairs --
+            returned WITH the full pair list so the selection is
+            auditable (the recorded number is best-case by design: the
+            throttling VM clips individual windows, and the defensible
+            figure is the cleanest adjacent window; the spread shows what
+            the other windows saw).  Falls back to best-per-level if no
+            adjacent pair exists."""
             pairs = []
             for x, y in zip(ordered, ordered[1:]):
                 if {x["threads"], y["threads"]} == {lo, hi}:
                     lo_leg, hi_leg = (x, y) if x["threads"] == lo else (y, x)
                     pairs.append(pair_eff(lo_leg, hi_leg))
             if pairs:
-                return max(pairs, key=lambda p: p[0])
-            return pair_eff(runs[lo], runs[hi])
+                return max(pairs, key=lambda p: p[0]), pairs
+            one = pair_eff(runs[lo], runs[hi])
+            return one, [one]
 
         if 2 in runs and 8 in runs:
-            raw, norm = eff(2, 8)
+            (raw, norm), pairs = eff(2, 8)
             scaling["efficiency_2_to_8"] = raw
             scaling["efficiency_2_to_8_normalized"] = norm
+            scaling["efficiency_2_to_8_pairs"] = pairs
         if 8 in runs and 32 in runs:
-            raw, norm = eff(8, 32)
+            (raw, norm), pairs = eff(8, 32)
             scaling["efficiency_8_to_32"] = raw
             scaling["efficiency_8_to_32_normalized"] = norm
+            scaling["efficiency_8_to_32_pairs"] = pairs
+        # the raw leg sequence: every window measured, in order, so the
+        # per-level best (and the headline docs/s) selection is auditable
+        scaling["legs"] = [
+            {"threads": leg["threads"], "docs_per_sec": leg["docs_per_sec"],
+             "wall_samples": leg.get("wall_samples"),
+             "hw_speed": leg["hw_speed"]} for leg in ordered]
         result["scaling"] = scaling
 
     time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "20")))
@@ -260,18 +279,22 @@ def main():
     ]
     # TWO full passes over the list, min per query: a throttle dip during
     # one pass cannot poison the recorded wall for the queries it clipped
-    # (the round-3 artifact recorded 2-4x outliers exactly this way)
+    # (the round-3 artifact recorded 2-4x outliers exactly this way).
+    # Both passes are recorded (queries_passes) so the min is auditable.
+    passes: dict[str, list[float]] = {}
     for _pass in range(2):
         for name, fn in rel:
             t0 = time.time()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             wall = round(time.time() - t0, 3)
+            passes.setdefault(name, []).append(wall)
             if name not in timings or wall < timings[name]:
                 timings[name] = wall
     spark.stop()
 
     result["queries"] = timings
+    result["queries_passes"] = passes
     result["value"] = round(sum(timings.values()), 3)
     print(json.dumps(result))
 

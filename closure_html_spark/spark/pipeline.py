@@ -96,7 +96,8 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                   default_charset: str = "utf-8",
                   engine: str = "arrow",
                   columns: tuple[str, ...] | None = None,
-                  packed_spans: bool = False) -> DataFrame:
+                  packed_spans: bool = False,
+                  out_batch_rows: int | None = None) -> DataFrame:
     """Parse + extract every page.  Keeps `id_cols` as passthrough keys.
 
     If the input has a `content_type` column (WARC-style HTTP header), its
@@ -133,16 +134,24 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
     -- one Arrow child buffer instead of four + offsets.  The consumer
     decodes with closure_html_spark.spark.pipeline.unpack_spans (numpy) or
     reads span COUNT as length(spans_packed)/20 JVM-side.  main_text is
-    not attached (it needs the struct form)."""
+    not attached (it needs the struct form).
+
+    out_batch_rows (arrow only, SCALE.md frontier #2 lever): coalesce
+    OUTPUT batches to at least this many rows before yielding -- fewer,
+    larger Arrow IPC messages to the JVM (input batch sizing is capped by
+    session.py's row+byte bounds and is not affected; peak worker memory
+    grows by the buffered output columns, which are ~1x input text)."""
     if engine not in ("arrow", "pandas"):
         raise ValueError(f"engine must be 'arrow' or 'pandas', got {engine!r}")
     if columns is not None and engine != "arrow":
         raise ValueError("columns= projection requires engine='arrow'")
     if packed_spans and engine != "arrow":
         raise ValueError("packed_spans requires engine='arrow'")
+    if out_batch_rows is not None and engine != "arrow":
+        raise ValueError("out_batch_rows requires engine='arrow'")
     if engine == "arrow":
         return _extract_pages_arrow(df, id_cols, default_charset, columns,
-                                    packed_spans)
+                                    packed_spans, out_batch_rows)
     schema = _extract_schema(df, id_cols)
     has_ct = "content_type" in df.columns
     cols = list(id_cols) + ["html"] + (["content_type"] if has_ct else [])
@@ -219,7 +228,8 @@ def unpack_spans(buf: bytes) -> list[tuple[int, int, float, bool]]:
 def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
                          default_charset: str,
                          columns: tuple[str, ...] | None = None,
-                         packed_spans: bool = False) -> DataFrame:
+                         packed_spans: bool = False,
+                         out_batch_rows: int | None = None) -> DataFrame:
     """mapInArrow body of extract_pages: output-column materialization is
     the stage's dominant cost after the round-2 parser fusion (~3x parse
     CPU, SCALE.md frontier #1), and most of it was pandas object-dtype
@@ -256,7 +266,7 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
     cols = ids + ["html"] + (["content_type"] if has_ct else [])
     i32 = pa.int32()
 
-    def fn(batches):
+    def _fn_per_batch(batches):
         dtd = load_dtd()
         for batch in batches:
             htmls = batch.column("html").to_pylist()
@@ -386,6 +396,28 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
             # nested field names differ only cosmetically (item vs
             # element); cast is metadata-level, buffers are shared
             yield out.cast(arrow_schema, safe=False)
+
+    if out_batch_rows is None:
+        fn = _fn_per_batch
+    else:
+        def fn(batches):
+            def combine(bufs):
+                if len(bufs) == 1:
+                    return bufs[0]
+                merged = pa.Table.from_batches(bufs).combine_chunks() \
+                    .to_batches()
+                assert len(merged) == 1
+                return merged[0]
+
+            buf, rows = [], 0
+            for b in _fn_per_batch(batches):
+                buf.append(b)
+                rows += b.num_rows
+                if rows >= out_batch_rows:
+                    yield combine(buf)
+                    buf, rows = [], 0
+            if buf:
+                yield combine(buf)
 
     result = df.select(*cols).mapInArrow(fn, schema)
     if "extracted_text" in wanted and "spans" in wanted and not pack:

@@ -227,3 +227,24 @@ def test_20mb_document_mixed_with_small(spark):
     assert bigrow["extracted_text"].startswith("big document content")
     assert bigrow["n_nodes"] > 6000
     assert out.count() == 501
+
+
+def test_out_batch_rows_coalescing_identical(spark):
+    """out_batch_rows: coalesced output batches must be value-identical to
+    the per-input-batch default (forced multi-batch input via a tiny
+    arrow batch cap)."""
+    rows = [(f"u{i:03d}", bytearray(
+        f"<html><head><title>D{i}</title></head><body><div id=n>"
+        f"<a href=/{i}>l</a></div><p>content {i} text</p></body></html>"
+        .encode())) for i in range(64)]
+    df = spark.createDataFrame(rows, "url string, html binary").coalesce(2)
+    cap = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        a = extract_pages(df, columns=ALL_COLS).orderBy("url").collect()
+        b = extract_pages(df, columns=ALL_COLS,
+                          out_batch_rows=1000).orderBy("url").collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", cap)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 64
