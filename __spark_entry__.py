@@ -35,6 +35,7 @@ from closure_html_spark.spark.multimodal import (
     q_media_decode,
     q_media_meta,
 )
+from closure_html_spark.spark.pdfs import ORACLE_PDF_EXTRACT, q_pdf_extract
 from closure_html_spark.spark.pipeline import (
     extract_pages,
     nodes_of,
@@ -270,6 +271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "media_decode": q_media_decode,
         "media_meta": q_media_meta,
+        # PDF/layout parse (north_rule tier leg; real simple-PDF parser)
+        "pdf_extract": q_pdf_extract,
     }
 
 
@@ -419,4 +422,5 @@ ORDER BY doc_id, rep
         "ann_ivf_topk": R.ORACLE_ANN_IVF,
         "media_decode": ORACLE_MEDIA_DECODE,
         "media_meta": ORACLE_MEDIA_META,
+        "pdf_extract": ORACLE_PDF_EXTRACT,
     }
