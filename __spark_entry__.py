@@ -186,6 +186,46 @@ def _q_extract_links_variants(spark, sf_dir):
         .orderBy("doc_id", "rep"))
 
 
+def _q_corpus_clean_pipeline(spark, sf_dir):
+    """The COMPOSED training-data pipeline in one oracle-checked query --
+    the transform chain a corpus builder actually ships, end-to-end from
+    raw HTML: parse+repair+extract (main_text) -> quality gate (>= 10
+    words, Gopher-lite word-count rule) -> exact near-dup removal (md5 of
+    main_text, first doc_id wins; the 16-byte hash is the only wide
+    exchange -- text rides the per-doc rows, never a shuffle key).
+    Template-0 synthesis keeps every stage's output a closed-form SQL
+    function of `documents`, so the oracle replays the WHOLE chain."""
+    from pyspark.sql import Window
+
+    pages = pages_from_documents(spark, sf_dir)
+    ext = extract_pages(pages, id_cols=("doc_id", "lang"))
+    wc = F.size(F.split(F.trim("main_text"), r"\s+"))
+    passed = (ext.select("doc_id", "lang", "main_text")
+              .filter((F.length("main_text") > 0) & (wc >= 10)))
+    w = Window.partitionBy(F.md5("main_text")).orderBy("doc_id")
+    return (passed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "lang", "main_text")
+            .orderBy("doc_id"))
+
+
+ORACLE_CORPUS_CLEAN = """
+WITH passed AS (
+  SELECT doc_id, lang, text AS main_text
+  FROM documents
+  WHERE LENGTH(text) > 0
+    AND LEN(regexp_split_to_array(TRIM(text), '\\s+')) >= 10
+),
+ranked AS (
+  SELECT doc_id, lang, main_text,
+         ROW_NUMBER() OVER (PARTITION BY md5(main_text)
+                            ORDER BY doc_id) AS rn
+  FROM passed
+)
+SELECT doc_id, lang, main_text FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def _q_nodes_histogram(spark, sf_dir):
     """DOM-node name histogram over the parsed corpus -- the exploded nodes
     table as a relational surface.  Template 0 node mix is deterministic."""
@@ -273,6 +313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         # PDF/layout parse (north_rule tier leg; real simple-PDF parser)
         "pdf_extract": q_pdf_extract,
+        # the composed end-to-end corpus transform (parse -> quality ->
+        # dedup), every stage under the same oracle
+        "corpus_clean_pipeline": _q_corpus_clean_pipeline,
     }
 
 
@@ -423,4 +466,5 @@ ORDER BY doc_id, rep
         "media_decode": ORACLE_MEDIA_DECODE,
         "media_meta": ORACLE_MEDIA_META,
         "pdf_extract": ORACLE_PDF_EXTRACT,
+        "corpus_clean_pipeline": ORACLE_CORPUS_CLEAN,
     }
