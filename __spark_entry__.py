@@ -36,6 +36,7 @@ from closure_html_spark.spark.multimodal import (
     q_media_meta,
 )
 from closure_html_spark.spark.pdfs import ORACLE_PDF_EXTRACT, q_pdf_extract
+from closure_html_spark.spark.warcs import ORACLE_WARC_EXTRACT, q_warc_extract
 from closure_html_spark.spark.pipeline import (
     extract_pages,
     nodes_of,
@@ -316,6 +317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the composed end-to-end corpus transform (parse -> quality ->
         # dedup), every stage under the same oracle
         "corpus_clean_pipeline": _q_corpus_clean_pipeline,
+        # WARC ingest (CC archive grammar + HTTP-header charset seeding)
+        "warc_extract": q_warc_extract,
     }
 
 
@@ -467,4 +470,5 @@ ORDER BY doc_id, rep
         "media_meta": ORACLE_MEDIA_META,
         "pdf_extract": ORACLE_PDF_EXTRACT,
         "corpus_clean_pipeline": ORACLE_CORPUS_CLEAN,
+        "warc_extract": ORACLE_WARC_EXTRACT,
     }

@@ -1,0 +1,98 @@
+"""WARC ingest: record grammar, HTTP extraction, chunked bodies, file
+splitting, and the Spark records->pages stage feeding the extractor."""
+
+from closure_html_spark.warc import parse_warc_record, split_warc_file
+
+
+def _mk(url=b"https://x.ex/p", wtype=b"response",
+        http=b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>hi",
+        clen=None):
+    body = http
+    n = clen if clen is not None else len(body)
+    return (b"WARC/1.0\r\nWARC-Type: " + wtype +
+            b"\r\nWARC-Target-URI: " + url +
+            b"\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(n).encode() + b"\r\n\r\n" + body +
+            b"\r\n\r\n")
+
+
+def test_response_record():
+    r = parse_warc_record(_mk())
+    assert r["url"] == "https://x.ex/p"
+    assert r["warc_type"] == "response"
+    assert r["http_status"] == 200
+    assert r["content_type"] == "text/html"
+    assert r["html"] == b"<p>hi"
+    assert r["error"] is None
+
+
+def test_content_length_respected():
+    """Bytes after Content-Length (e.g. the record separator) must not
+    leak into the body."""
+    http = b"HTTP/1.1 200 OK\r\n\r\nBODY"
+    rec = _mk(http=http) + b"trailing garbage"
+    assert parse_warc_record(rec)["html"] == b"BODY"
+
+
+def test_non_response_records_pass_through():
+    r = parse_warc_record(_mk(wtype=b"request"))
+    assert r["warc_type"] == "request" and r["html"] is None
+    assert r["error"] is None
+
+
+def test_chunked_transfer_encoding():
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"5\r\nHello\r\n6\r\n World\r\n0\r\n\r\n")
+    r = parse_warc_record(_mk(http=http))
+    assert r["html"] == b"Hello World"
+
+
+def test_error_markers():
+    assert parse_warc_record(b"GET / HTTP/1.1")["error"] == "not-warc"
+    assert parse_warc_record(b"WARC/1.0\r\nWARC-Type: response") \
+        ["error"] == "truncated-headers"
+
+
+def test_split_warc_file():
+    data = _mk(url=b"https://a.ex/1") + _mk(url=b"https://b.ex/2") \
+        + _mk(url=b"https://c.ex/3")
+    recs = split_warc_file(data)
+    assert len(recs) == 3
+    urls = [parse_warc_record(r)["url"] for r in recs]
+    assert urls == ["https://a.ex/1", "https://b.ex/2", "https://c.ex/3"]
+    # resync after a corrupt record
+    corrupt = b"WARC/1.0\r\nbroken" + b"\r\n\r\n" + _mk(url=b"https://d.ex/4")
+    recs2 = split_warc_file(corrupt)
+    assert parse_warc_record(recs2[-1])["url"] == "https://d.ex/4"
+
+
+def test_records_to_pages_stage(spark):
+    """The Spark stage: synthesized latin-1 records parse into pages whose
+    HTTP charset header seeds the decoder (degree sign survives), and a
+    broken record keeps its row with the error marker."""
+    from pyspark.sql import functions as F
+
+    from closure_html_spark.spark.pipeline import extract_pages
+    from closure_html_spark.spark.warcs import (
+        warc_records_to_pages,
+        warcs_from_documents,
+    )
+    recs = warcs_from_documents(spark, "/root/testdata/sf0.001")
+    pages = warc_records_to_pages(recs, id_cols=("doc_id",))
+    ext = extract_pages(pages.select("doc_id", "url", "html",
+                                     "content_type"),
+                        id_cols=("doc_id",))
+    row = ext.orderBy("doc_id").limit(1).collect()[0]
+    assert row["title"] == "Doc °0"
+    assert row["charset"] == "latin-1"
+    # broken record: row kept, marker set
+    bad = spark.createDataFrame([(99, bytearray(b"not a warc"))],
+                                "doc_id long, record binary")
+    b = warc_records_to_pages(bad, id_cols=("doc_id",)).collect()[0]
+    assert b["warc_error"] == "not-warc" and b["url"] is None
+    # accounting: every synthesized record is a 200 response
+    agg = pages.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum((F.col("http_status") == 200).cast("int"))
+                    .alias("ok")).collect()[0]
+    assert agg["n"] == agg["ok"]
