@@ -275,6 +275,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": R.q_url_canonical,
         # the frontier's RFC 3986 link resolution, replayed in batch
         "resolve_href": R.q_resolve_href,
+        # corpus scrubbing / segmentation transforms
+        "pii_redact": R.q_pii_redact,
+        "sentence_chunks": R.q_sentence_chunks,
+        "mojibake_fix": R.q_mojibake_fix,
         "token_stats": R.q_token_stats,
         "quality_score": R.q_quality_score,
         "gopher_quality": R.q_gopher_quality,
@@ -442,6 +446,9 @@ ORDER BY doc_id, rep
         "paragraph_clean_50": R.ORACLE_PARAGRAPH_CLEAN_50,
         "url_canonical": R.ORACLE_URL_CANONICAL,
         "resolve_href": R.ORACLE_RESOLVE_HREF,
+        "pii_redact": R.ORACLE_PII_REDACT,
+        "sentence_chunks": R.ORACLE_SENTENCE_CHUNKS,
+        "mojibake_fix": R.ORACLE_MOJIBAKE,
         "token_stats": R.ORACLE_TOKEN_STATS,
         "quality_score": R.ORACLE_QUALITY,
         "gopher_quality": R.ORACLE_GOPHER,

@@ -959,6 +959,130 @@ FROM s ORDER BY doc_id
 """
 
 
+# PII patterns (training-data scrubbing): email, NANP-style phone, IPv4.
+# Shared constants so the Spark expressions and the DuckDB oracle use the
+# IDENTICAL regex text (both engines are re2/ICU-compatible for these).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\(?\d{3}\)?[ -]\d{3}[ -]\d{4}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing -- the compliance transform every shipped training
+    corpus runs: replace emails / phone numbers / IPv4 addresses with
+    typed placeholders and count the hits per doc.  Pure regexp_replace
+    column expressions (codegen, no shuffle except the output sort);
+    each doc gets deterministic synthetic PII appended so the oracle is
+    closed-form (the corpus text itself carries no digits/@)."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), i, F.lit("@mail.example or call 555-01"),
+        F.format_string("%02d", F.col("doc_id") % 100),
+        F.lit("-1234 from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(dirty, PII_EMAIL_RE, "[EMAIL]"),
+            PII_IPV4_RE, "[IP]"),
+        PII_PHONE_RE, "[PHONE]")
+    # counts run against the ORIGINAL dirty text, before placeholders
+    return (docs.select(
+        "doc_id",
+        redacted.alias("clean_text"),
+        F.size(F.regexp_extract_all(dirty, F.lit(PII_EMAIL_RE), 0))
+         .alias("n_emails"),
+        F.size(F.regexp_extract_all(dirty, F.lit(PII_PHONE_RE), 0))
+         .alias("n_phones"),
+        F.size(F.regexp_extract_all(dirty, F.lit(PII_IPV4_RE), 0))
+         .alias("n_ips"))
+        .orderBy("doc_id"))
+
+
+ORACLE_PII_REDACT = f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example or call '
+              || '555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || '-1234 from 10.0.' || (doc_id % 256) || '.7' AS dirty
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(dirty, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+           '{PII_IPV4_RE}', '[IP]', 'g'),
+         '{PII_PHONE_RE}', '[PHONE]', 'g') AS clean_text,
+       LEN(regexp_extract_all(dirty, '{PII_EMAIL_RE}')) AS n_emails,
+       LEN(regexp_extract_all(dirty, '{PII_PHONE_RE}')) AS n_phones,
+       LEN(regexp_extract_all(dirty, '{PII_IPV4_RE}')) AS n_ips
+FROM d ORDER BY doc_id
+"""
+
+
+def q_sentence_chunks(spark, sf_dir):
+    """Sentence segmentation -- the unit C4's three-sentence spans and
+    most span-level dedup operate on: split on terminal punctuation runs,
+    emit per-doc sentence count and the segmented array.  The corpus text
+    carries no punctuation, so each doc is prefixed with three
+    deterministic sentences and the closed form is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    prose = F.concat(
+        F.lit("First sentence of doc "), i,
+        F.lit(". Second one! Is this the third? "), F.col("text"))
+    sents = F.filter(F.split(F.trim(prose), r"[.!?]+\s*"),
+                     lambda s: s != "")
+    return (docs.select(
+        "doc_id",
+        F.size(sents).alias("n_sentences"),
+        F.array_join(sents, "|").alias("sentences"))
+        .orderBy("doc_id"))
+
+
+ORACLE_SENTENCE_CHUNKS = r"""
+WITH p AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(
+             TRIM('First sentence of doc ' || doc_id
+                  || '. Second one! Is this the third? ' || text),
+             '[.!?]+\s*'),
+           s -> s <> '') AS sents
+  FROM documents
+)
+SELECT doc_id,
+       LEN(sents) AS n_sentences,
+       array_to_string(sents, '|') AS sentences
+FROM p ORDER BY doc_id
+"""
+
+
+def q_mojibake_fix(spark, sf_dir):
+    """Mojibake repair (ftfy's core case): text that was UTF-8 but got
+    decoded as latin-1 ("café" -> "cafÃ©") is re-encoded as latin-1 and
+    re-decoded as UTF-8 -- entirely JVM-side (encode/decode exprs), gated
+    on the Ã/Â marker bytes so clean text passes through untouched.  Each
+    doc is prefixed with a deterministically mojibake'd constant; the
+    oracle replays the closed form."""
+    docs = _t(spark, sf_dir, "documents")
+    # 'café °' seen through the utf8-bytes-as-latin1 accident
+    broken = "cafÃ© Â°"
+    dirty = F.concat(F.lit(broken + " "), F.col("text"))
+    repaired = F.decode(F.encode(dirty, "ISO-8859-1"), "UTF-8")
+    fixed = F.when(dirty.rlike("[ÃÂ]"), repaired) \
+             .otherwise(dirty)
+    return (docs.select("doc_id", fixed.alias("fixed_text"))
+            .orderBy("doc_id"))
+
+
+ORACLE_MOJIBAKE = """
+SELECT doc_id, 'café °' || ' ' || text AS fixed_text
+FROM documents ORDER BY doc_id
+"""
+
+
 def _minhash_ctes(n_hashes: int = 16, n_bands: int = 4) -> str:
     """Shared CTE text (w/tri/ab/hx/bands) replaying _minhash_sigs +
     _minhash_banded in DuckDB, used by both minhash oracles."""
