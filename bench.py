@@ -28,6 +28,21 @@ from closure_html_spark.spark.pages import pages_from_documents
 from closure_html_spark.spark.pipeline import extract_pages
 from closure_html_spark.spark.session import get_spark
 
+
+def _q_corpus_clean(s, d):
+    import __spark_entry__ as entry
+    return entry.queries()["corpus_clean_pipeline"](s, d)
+
+
+def _q_pdf(s, d):
+    from closure_html_spark.spark.pdfs import q_pdf_extract
+    return q_pdf_extract(s, d)
+
+
+def _q_warc(s, d):
+    from closure_html_spark.spark.warcs import q_warc_extract
+    return q_warc_extract(s, d)
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 TILE = int(os.environ.get("SPARK_GRAFT_BENCH_TILE", "8"))
@@ -276,6 +291,12 @@ def main():
         ("minhash_est_pairs", R.q_minhash_est_pairs),
         ("paragraph_clean_50", lambda s, d: R.q_paragraph_dedup_clean(
             s, d, chunk_words=50)),
+        # round-5 additions: the composed corpus transform (parse ->
+        # quality -> dedup, the heaviest end-to-end chain) and the two
+        # new ingest legs
+        ("corpus_clean_pipeline", _q_corpus_clean),
+        ("pdf_extract", _q_pdf),
+        ("warc_extract", _q_warc),
     ]
     # TWO full passes over the list, min per query: a throttle dip during
     # one pass cannot poison the recorded wall for the queries it clipped
