@@ -92,3 +92,47 @@ def test_resolve_with_base_override(spark):
     assert got[3] == "https://h.ex/a/x.png"        # empty base -> src
     assert got[4] == "https://h.ex/a/x.png"        # non-http base -> src
     assert got[5] == "https://cdn.ex/abs.css"      # rooted vs base origin
+
+
+def test_resolve_randomized_vs_urljoin(spark):
+    """300 seeded random (base, href) pairs in one Spark job, compared
+    against urljoin (fragment-stripped).  Catches merge/normalization
+    edge combinations the hand matrix misses."""
+    import random
+
+    rng = random.Random(42)
+    segs = ["a", "bb", "c.html", "idx", "x1"]
+
+    def rand_base():
+        host = rng.choice(["h.ex", "w.example", "h.ex:8080"])
+        depth = rng.randrange(0, 4)
+        path = "/".join(rng.choice(segs) for _ in range(depth))
+        trail = rng.choice(["", "/"]) if path else ""
+        q = rng.choice(["", "?k=1"])
+        return f"https://{host}/{path}{trail}{q}"
+
+    def rand_href():
+        kind = rng.randrange(6)
+        if kind == 0:
+            parts = [rng.choice(segs + ["..", "."])
+                     for _ in range(rng.randrange(1, 4))]
+            return "/".join(parts) + rng.choice(["", "/"])
+        if kind == 1:
+            return "/" + "/".join(rng.choice(segs + [".."])
+                                  for _ in range(rng.randrange(0, 3)))
+        if kind == 2:
+            return "//m.ex/" + rng.choice(segs)
+        if kind == 3:
+            return "http://abs.ex/" + rng.choice(segs)
+        if kind == 4:
+            return rng.choice(segs) + "?q=" + rng.choice(segs)
+        return rng.choice(["", "?x=1", "#f", "./", "../"])
+
+    cases = [(i, rand_base(), rand_href()) for i in range(300)]
+    df = spark.createDataFrame(cases, "i int, src string, href string")
+    got = {r["i"]: r["out"] for r in df.select(
+        "i", resolve_href(F.col("src"), F.col("href")).alias("out"))
+        .collect()}
+    for i, b, h in cases:
+        want = urldefrag(urljoin(b, h)).url
+        assert got[i] == want, f"{b!r} + {h!r}: {got[i]!r} != {want!r}"
