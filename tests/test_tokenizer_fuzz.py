@@ -30,6 +30,10 @@ ALPHABETS = [
     # digits after '&#' ('²', '٣'), and multibyte letters -- the fast
     # path must reject exactly what the slow machine rejects.
     "<>/=&;'\"a div href=x \xa0\x0b 　 &#² ٣ 1 é漢\n\t",
+    # round-5 hunt alphabets (84k-case extended run, 0 diffs): raw-text
+    # elements + charset-relevant attrs, and comment/doctype/PI edge soup
+    "<script style base meta href= charset=utf-8 > </ ! -- > x & ; \" '",
+    "<!-- -- > <! doctype <? proc ?> ]]> <![ x",
 ]
 
 
