@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_href": R.q_resolve_href,
         # corpus scrubbing / segmentation transforms
         "pii_redact": R.q_pii_redact,
+        # crawl politeness: robots.txt groups + longest-match verdicts
+        "robots_filter": R.q_robots_filter,
         "sentence_chunks": R.q_sentence_chunks,
         "mojibake_fix": R.q_mojibake_fix,
         "token_stats": R.q_token_stats,
@@ -447,6 +449,7 @@ ORDER BY doc_id, rep
         "url_canonical": R.ORACLE_URL_CANONICAL,
         "resolve_href": R.ORACLE_RESOLVE_HREF,
         "pii_redact": R.ORACLE_PII_REDACT,
+        "robots_filter": R.ORACLE_ROBOTS_FILTER,
         "sentence_chunks": R.ORACLE_SENTENCE_CHUNKS,
         "mojibake_fix": R.ORACLE_MOJIBAKE,
         "token_stats": R.ORACLE_TOKEN_STATS,

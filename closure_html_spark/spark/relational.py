@@ -967,6 +967,97 @@ PII_PHONE_RE = r"\(?\d{3}\)?[ -]\d{3}[ -]\d{4}"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
+def robots_rules(robots_df):
+    """Parse robots.txt files (one row per host: host, robots) into
+    (host, is_allow, prefix) rules for the '*' user-agent, entirely with
+    column expressions: lines explode with positions, consecutive
+    User-agent lines form a GROUP (RFC 9309 §2.2.1 -- rules belong to
+    every agent named in their group, which is why a per-line
+    last-agent shortcut mis-attributes), and Allow/Disallow rows keep
+    only groups naming '*'."""
+    lines = robots_df.select(
+        "host", F.posexplode(F.split("robots", "\n")).alias("pos", "line"))
+    kind = F.lower(F.trim(F.regexp_extract("line", r"^\s*([A-Za-z-]+)\s*:", 1)))
+    value = F.trim(F.regexp_extract("line", r":\s*([^#]*)", 1))
+    parsed = lines.select("host", "pos", kind.alias("kind"),
+                          value.alias("value"))
+    wseq = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("kind") == "user-agent").cast("int")
+    new_grp = ((is_ua == 1) &
+               (F.coalesce(F.lag(is_ua).over(wseq), F.lit(0)) == 0))
+    grouped = parsed.withColumn(
+        "grp", F.sum(new_grp.cast("int")).over(
+            wseq.rowsBetween(Window.unboundedPreceding, 0)))
+    wgrp = Window.partitionBy("host", "grp")
+    agents = F.collect_set(
+        F.when(F.col("kind") == "user-agent",
+               F.lower(F.col("value")))).over(wgrp)
+    return (grouped
+            .withColumn("agents", agents)
+            .filter(F.col("kind").isin("allow", "disallow")
+                    & (F.col("value") != "")
+                    & F.array_contains(F.col("agents"), "*"))
+            .select("host", (F.col("kind") == "allow").alias("is_allow"),
+                    F.col("value").alias("prefix")))
+
+
+def robots_allowed(urls_df, rules_df):
+    """Longest-match robots verdict per url (RFC 9309 §2.4.2: the most
+    specific -- longest -- matching rule wins; Allow wins a length tie).
+    rules broadcast (robots files are tiny relative to the frontier); the
+    frontier side stays shuffle-free."""
+    joined = urls_df.join(F.broadcast(rules_df), "host", "left")
+    m = F.col("path").startswith(F.col("prefix"))
+    best = F.max(F.when(m, F.struct(
+        F.length("prefix").alias("l"),
+        F.col("is_allow").cast("int").alias("a"))))
+    key_cols = [c for c in urls_df.columns]
+    return (joined.groupBy(*key_cols).agg(best.alias("best"))
+            .withColumn("allowed",
+                        F.col("best").isNull() | (F.col("best.a") == 1))
+            .drop("best"))
+
+
+def q_robots_filter(spark, sf_dir):
+    """The crawl-politeness leg: deterministic per-host robots.txt files
+    (an evilbot group with Disallow: / -- the canary that blocks
+    EVERYTHING if group attribution leaks -- plus a '*' group with
+    Disallow: /p1, Allow: /p12, and Disallow: /p3 on even hosts) filter
+    the frontier urls.  Oracle replays the closed form."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.col("doc_id") % 50
+    host = F.concat(F.lit("host"), h.cast("string"), F.lit(".example"))
+    path = F.concat(F.lit("/p"), F.col("doc_id").cast("string"))
+    urls = docs.select("doc_id", host.alias("host"), path.alias("path"))
+    hosts = spark.range(50).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("User-agent: evilbot\nDisallow: /\n\n"
+                  "User-agent: *\nDisallow: /p1\nAllow: /p12\n"),
+            F.when(F.col("id") % 2 == 0, F.lit("Disallow: /p3\n"))
+             .otherwise(F.lit(""))).alias("robots"))
+    verdicts = robots_allowed(urls, robots_rules(hosts))
+    return (verdicts.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("host"), F.col("path"))
+         .alias("url"),
+        "allowed").orderBy("doc_id"))
+
+
+ORACLE_ROBOTS_FILTER = """
+WITH u AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS s, doc_id % 50 AS h
+  FROM documents
+)
+SELECT doc_id,
+       'https://host' || h || '.example/p' || doc_id AS url,
+       NOT ( (starts_with(s, '1') AND NOT starts_with(s, '12'))
+             OR (h % 2 = 0 AND starts_with(s, '3')) ) AS allowed
+FROM u ORDER BY doc_id
+"""
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrubbing -- the compliance transform every shipped training
     corpus runs: replace emails / phone numbers / IPv4 addresses with
