@@ -1004,18 +1004,25 @@ def robots_rules(robots_df):
 def robots_allowed(urls_df, rules_df):
     """Longest-match robots verdict per url (RFC 9309 §2.4.2: the most
     specific -- longest -- matching rule wins; Allow wins a length tie).
-    rules broadcast (robots files are tiny relative to the frontier); the
-    frontier side stays shuffle-free."""
-    joined = urls_df.join(F.broadcast(rules_df), "host", "left")
-    m = F.col("path").startswith(F.col("prefix"))
-    best = F.max(F.when(m, F.struct(
-        F.length("prefix").alias("l"),
-        F.col("is_allow").cast("int").alias("a"))))
-    key_cols = [c for c in urls_df.columns]
-    return (joined.groupBy(*key_cols).agg(best.alias("best"))
+    The rules collapse to ONE array row per host on the (tiny, static)
+    robots side, broadcast into the frontier, and the verdict is a
+    per-row array HOF -- no aggregation over the url side at all, so the
+    same operator drops into Structured Streaming (stream_frontier's
+    robots= option) without requiring stateful-aggregation semantics."""
+    per_host = rules_df.groupBy("host").agg(
+        F.collect_list(F.struct("prefix", "is_allow")).alias("rules"))
+    joined = urls_df.join(F.broadcast(per_host), "host", "left")
+    matched = F.filter(
+        F.col("rules"), lambda r: F.col("path").startswith(r["prefix"]))
+    best = F.array_max(F.transform(
+        matched, lambda r: F.struct(
+            F.length(r["prefix"]).alias("l"),
+            r["is_allow"].cast("int").alias("a"))))
+    return (joined
             .withColumn("allowed",
-                        F.col("best").isNull() | (F.col("best.a") == 1))
-            .drop("best"))
+                        F.col("rules").isNull() | best.isNull()
+                        | (best["a"] == 1))
+            .drop("rules"))
 
 
 def q_robots_filter(spark, sf_dir):

@@ -240,7 +240,8 @@ def stream_dedup_urls(pages: DataFrame, n_groups: int = 64,
 
 
 def stream_frontier(pages: DataFrame, n_groups: int = 64,
-                    m_bits: int = 1 << 23) -> DataFrame:
+                    m_bits: int = 1 << 23,
+                    robots: DataFrame | None = None) -> DataFrame:
     """The continuous CRAWL-FRONTIER loop, composed from the existing
     operators: arriving pages -> extract stage emitting ONLY the `links`
     column (no text build, no node table) -> explode to outlinks ->
@@ -257,12 +258,24 @@ def stream_frontier(pages: DataFrame, n_groups: int = 64,
     the source as resolution base, and non-http(s) schemes (mailto:,
     javascript:, ...) are dropped.
 
+    robots: optional STATIC DataFrame (host string, robots string) of
+    robots.txt bodies -- frontier urls disallowed for User-agent * are
+    dropped before the dedup (RFC 9309 longest-match, Allow tie-break;
+    relational.robots_rules/robots_allowed).  The rules side broadcasts
+    into the stream (static-stream join), so politeness adds no state
+    and no stream-side shuffle.
+
     Everything before the stateful dedup is stateless and narrow: the
     extract stage is the same mapInArrow used in batch, resolution +
     canonicalization are pure column expressions, so the operator scales
     with source parallelism; only the Bloom state (m_bits/8 bytes x
     n_groups, forever) persists."""
-    from .relational import _canonical_url, resolve_href
+    from .relational import (
+        _canonical_url,
+        resolve_href,
+        robots_allowed,
+        robots_rules,
+    )
 
     ext = extract_pages(pages, id_cols=("url",), columns=("links", "base"))
     out = (ext.select(F.col("url").alias("src_url"), "base",
@@ -271,5 +284,15 @@ def stream_frontier(pages: DataFrame, n_groups: int = 64,
                F.col("src_url"), F.col("href"), base=F.col("base")))
            .filter(F.col("abs").isNotNull())
            .select(_canonical_url(F.col("abs")).alias("url"), "src_url"))
+    if robots is not None:
+        out = out.withColumn(
+            "host", F.regexp_extract("url", r"^https?://([^/]+)", 1)) \
+            .withColumn(
+            "path", F.coalesce(
+                F.nullif(F.regexp_extract("url", r"^https?://[^/]+(/.*)$",
+                                          1), F.lit("")), F.lit("/")))
+        out = (robots_allowed(out, robots_rules(robots))
+               .filter(F.col("allowed"))
+               .select("url", "src_url"))
     return stream_dedup(out, key_col="url", n_groups=n_groups,
                         m_bits=m_bits, out_cols="url string, src_url string")

@@ -308,3 +308,40 @@ def test_stream_sessionize_watermark_drops_stragglers(spark,
     assert (1, ts(12, 0), ts(12, 5), 2) in got, got
     assert not any(s == ts(10, 0) for _, s, _, _ in got), \
         f"beyond-watermark straggler was not dropped: {got}"
+
+
+def test_stream_frontier_with_robots(spark, staged_pages, tmp_path_factory):
+    """robots= option: a static robots side disallowing /about for '*'
+    (plus an evilbot Disallow:/ canary group) drops that path from the
+    frontier stream -- 2 urls per host instead of 3 -- while the Bloom
+    dedup still runs exactly-once under availableNow."""
+    from closure_html_spark.spark.streaming import stream_frontier
+
+    input_dir, _ = staged_pages
+    in_dir = str(tmp_path_factory.mktemp("rfrontier_in"))
+    out_dir = str(tmp_path_factory.mktemp("rfrontier_out"))
+    ckpt = str(tmp_path_factory.mktemp("rfrontier_ckpt"))
+    spark.read.parquet(input_dir).write.mode("append").parquet(in_dir)
+    hosts = (spark.read.parquet(input_dir)
+             .select(F.regexp_extract("url", r"https://([^/]+)/", 1)
+                     .alias("host")).distinct())
+    n_hosts = hosts.count()
+    robots = hosts.select(
+        "host",
+        F.lit("User-agent: evilbot\nDisallow: /\n\n"
+              "User-agent: *\nDisallow: /about\n").alias("robots"))
+
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, html binary, "
+                      "text string, lang string, doc_id long")
+              .parquet(in_dir))
+    q = (stream_frontier(stream, n_groups=8, robots=robots)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = spark.read.parquet(out_dir)
+    urls = {r["url"] for r in got.collect()}
+    assert got.count() == 2 * n_hosts, (got.count(), n_hosts)
+    assert not any(u.endswith("/about") for u in urls)
+    assert any(u.endswith("/c") for u in urls)  # other paths survive
