@@ -187,6 +187,46 @@ def _q_extract_links_variants(spark, sf_dir):
         .orderBy("doc_id", "rep"))
 
 
+def _q_bookmarks(spark, sf_dir):
+    """Multi-DTD parse surface under the hard gate: deterministic
+    NETSCAPE-Bookmark-file-1 payloads (the reference's second catalog
+    DTD) parse through `sgml_parse(netscape-bookmark, ...)` into
+    (folder, link_title, href) rows -- two links in a H3 folder plus one
+    top-level link per doc, all closed-form."""
+    from closure_html_spark.spark.pipeline import bookmarks_of
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    i = F.col("doc_id").cast("string")
+    m = (F.col("doc_id") % 5).cast("string")
+    src = F.concat(
+        F.lit("<!DOCTYPE NETSCAPE-Bookmark-file-1><TITLE>BM </TITLE>"
+              "<H1>BM</H1><DL><DT><H3>Folder"), m, F.lit("</H3><DL>"
+              "<DT><A HREF=\"https://bm.example/a"), i,
+        F.lit("\">Link "), i, F.lit("</A>"
+              "<DT><A HREF=\"https://bm.example/b"), i,
+        F.lit("\">Second</A></DL>"
+              "<DT><A HREF=\"https://top.example/"), i,
+        F.lit("\">Top</A></DL>"))
+    df = docs.select("doc_id", F.encode(src, "utf-8").alias("html"))
+    return (bookmarks_of(df, id_cols=("doc_id",))
+            .orderBy("doc_id", "href"))
+
+
+ORACLE_BOOKMARKS = """
+SELECT doc_id, folder, link_title, href FROM (
+  SELECT doc_id, 'Folder' || (doc_id % 5) AS folder,
+         'Link ' || doc_id AS link_title,
+         'https://bm.example/a' || doc_id AS href FROM documents
+  UNION ALL
+  SELECT doc_id, 'Folder' || (doc_id % 5), 'Second',
+         'https://bm.example/b' || doc_id FROM documents
+  UNION ALL
+  SELECT doc_id, '', 'Top', 'https://top.example/' || doc_id FROM documents
+) ORDER BY doc_id, href
+"""
+
+
 def _q_corpus_clean_pipeline(spark, sf_dir):
     """The COMPOSED training-data pipeline in one oracle-checked query --
     the transform chain a corpus builder actually ships, end-to-end from
@@ -325,6 +365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_pipeline": _q_corpus_clean_pipeline,
         # WARC ingest (CC archive grammar + HTTP-header charset seeding)
         "warc_extract": q_warc_extract,
+        # multi-DTD catalog parse (netscape-bookmark) under the gate
+        "bookmarks": _q_bookmarks,
     }
 
 
@@ -481,4 +523,5 @@ ORDER BY doc_id, rep
         "pdf_extract": ORACLE_PDF_EXTRACT,
         "corpus_clean_pipeline": ORACLE_CORPUS_CLEAN,
         "warc_extract": ORACLE_WARC_EXTRACT,
+        "bookmarks": ORACLE_BOOKMARKS,
     }
