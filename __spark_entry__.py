@@ -321,6 +321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": R.q_robots_filter,
         "sentence_chunks": R.q_sentence_chunks,
         "mojibake_fix": R.q_mojibake_fix,
+        "unicode_nfc": R.q_unicode_nfc,
+        "char_entropy": R.q_char_entropy,
         "token_stats": R.q_token_stats,
         "quality_score": R.q_quality_score,
         "gopher_quality": R.q_gopher_quality,
@@ -494,6 +496,8 @@ ORDER BY doc_id, rep
         "robots_filter": R.ORACLE_ROBOTS_FILTER,
         "sentence_chunks": R.ORACLE_SENTENCE_CHUNKS,
         "mojibake_fix": R.ORACLE_MOJIBAKE,
+        "unicode_nfc": R.ORACLE_UNICODE_NFC,
+        "char_entropy": R.ORACLE_CHAR_ENTROPY,
         "token_stats": R.ORACLE_TOKEN_STATS,
         "quality_score": R.ORACLE_QUALITY,
         "gopher_quality": R.ORACLE_GOPHER,

@@ -1065,6 +1065,82 @@ FROM u ORDER BY doc_id
 """
 
 
+def q_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization -- the canonicalization step that makes
+    hash-based dedup sound (a decomposed 'é' and a precomposed 'é'
+    are the same text but different bytes, so they'd never collide in
+    md5/MinHash).  Spark has no normalize builtin, so this is a small
+    Arrow-batched stage (unicodedata.normalize over each batch);
+    DuckDB's nfc_normalize replays it.  Each doc gets a deterministic
+    decomposed prefix so the transform provably fires."""
+    import pyarrow as pa
+
+    docs = _t(spark, sf_dir, "documents")
+    # 'cafe' + combining acute + space: decomposed on purpose
+    dirty = F.concat(F.lit("café naïve "), F.col("text"))
+    src = docs.select("doc_id", dirty.alias("dirty"))
+
+    def fn(batches):
+        import unicodedata
+        for batch in batches:
+            vals = [unicodedata.normalize("NFC", v) if v is not None
+                    else None
+                    for v in batch.column("dirty").to_pylist()]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pa.array(vals, pa.string())],
+                names=["doc_id", "nfc_text"])
+
+    out = src.mapInArrow(fn, "doc_id long, nfc_text string")
+    return (out.select("doc_id", "nfc_text",
+                       F.length("nfc_text").alias("nfc_len"))
+            .orderBy("doc_id"))
+
+
+ORACLE_UNICODE_NFC = """
+SELECT doc_id,
+       nfc_normalize('cafe' || chr(769) || ' nai' || chr(776) || 've '
+                     || text) AS nfc_text,
+       CAST(LENGTH(nfc_normalize('cafe' || chr(769) || ' nai' || chr(776)
+                                 || 've ' || text)) AS INT) AS nfc_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document -- the cheap
+    perplexity proxy data pipelines use to drop binary junk / repetitive
+    spam (low entropy) and encrypted noise (suspiciously high).
+    Pure relational: explode characters, count, entropy = -sum(p ln p)
+    with map-side partial aggregation; no Python, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.length("text").alias("n"),
+        F.explode(F.split("text", "")).alias("ch")) \
+        .filter(F.col("ch") != "")
+    per_char = (chars.groupBy("doc_id", "n", "ch")
+                .agg(F.count(F.lit(1)).alias("c")))
+    p = F.col("c") / F.col("n")
+    return (per_char.groupBy("doc_id")
+            .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+                 F.countDistinct("ch").alias("n_distinct_chars"))
+            .orderBy("doc_id"))
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH c AS (
+  SELECT doc_id, LENGTH(text) AS n, UNNEST(string_split(text, '')) AS ch
+  FROM documents WHERE LENGTH(text) > 0
+),
+pc AS (
+  SELECT doc_id, n, ch, COUNT(*) AS cnt FROM c GROUP BY doc_id, n, ch
+)
+SELECT doc_id,
+       ROUND(-SUM((cnt * 1.0 / n) * ln(cnt * 1.0 / n)), 6) AS entropy,
+       COUNT(DISTINCT ch) AS n_distinct_chars
+FROM pc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrubbing -- the compliance transform every shipped training
     corpus runs: replace emails / phone numbers / IPv4 addresses with
