@@ -322,6 +322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_chunks": R.q_sentence_chunks,
         "mojibake_fix": R.q_mojibake_fix,
         "unicode_nfc": R.q_unicode_nfc,
+        # host-graph PageRank (iterative; crawl prioritization signal)
+        "host_pagerank": R.q_host_pagerank,
         "char_entropy": R.q_char_entropy,
         "token_stats": R.q_token_stats,
         "quality_score": R.q_quality_score,
@@ -497,6 +499,7 @@ ORDER BY doc_id, rep
         "sentence_chunks": R.ORACLE_SENTENCE_CHUNKS,
         "mojibake_fix": R.ORACLE_MOJIBAKE,
         "unicode_nfc": R.ORACLE_UNICODE_NFC,
+        "host_pagerank": R.ORACLE_HOST_PAGERANK,
         "char_entropy": R.ORACLE_CHAR_ENTROPY,
         "token_stats": R.ORACLE_TOKEN_STATS,
         "quality_score": R.ORACLE_QUALITY,

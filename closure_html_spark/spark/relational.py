@@ -1065,6 +1065,84 @@ FROM u ORDER BY doc_id
 """
 
 
+def pagerank(edges, iters: int = 5, damping: float = 0.85,
+             n_nodes: int | None = None):
+    """PageRank over an (src, dst) edge DataFrame -- the web-graph rank
+    that feeds crawl prioritization and quality weighting.  Simplified
+    (dangling mass leaks, like the original formulation) so a SQL oracle
+    can replay it exactly.  Iterative ids+rank joins with localCheckpoint
+    per round (the same O(rounds) distributed-loop pattern as
+    connected_components): per iteration one edges⋈ranks join keyed on
+    src and one partial-agg groupBy on dst -- ranks are (id, double)
+    rows, never wider."""
+    nodes = edges.select(F.col("src").alias("id")) \
+        .union(edges.select(F.col("dst").alias("id"))).distinct()
+    n = n_nodes if n_nodes is not None else nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contribs = (edges.join(ranks, edges["src"] == ranks["id"])
+                    .join(outdeg, "src")
+                    .select(F.col("dst").alias("id"),
+                            (F.col("rank") / F.col("deg")).alias("c")))
+        sums = contribs.groupBy("id").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(sums, "id", "left")
+                 .select("id",
+                         (F.lit((1.0 - damping) / n) +
+                          F.lit(damping) * F.coalesce("s", F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint())
+    return ranks
+
+
+def q_host_pagerank(spark, sf_dir, iters: int = 5):
+    """Gate query: a deterministic 50-host link graph (ring edge, doubling
+    edge, and periodic links into host 0 -- a hub) ranked with 5 PageRank
+    iterations.  The oracle unrolls the same 5 iterations as stacked
+    CTE layers (aggregates are illegal in a recursive CTE term, so the
+    fixed-depth unroll IS the faithful replay)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).alias("h")).distinct()
+    ring = docs.select(F.col("h").alias("src"),
+                       ((F.col("h") + 1) % 50).alias("dst"))
+    dbl = docs.select(F.col("h").alias("src"),
+                      ((F.col("h") * 2 + 1) % 50).alias("dst"))
+    hub = docs.filter(F.col("h") % 7 == 3) \
+        .select(F.col("h").alias("src"), F.lit(0).alias("dst"))
+    edges = ring.union(dbl).union(hub).distinct()
+    ranks = pagerank(edges, iters=iters, n_nodes=50)
+    return (ranks.select("id", F.round("rank", 6).alias("rank"))
+            .orderBy("id"))
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    layers = ["pr0 AS (SELECT h AS id, 1.0/50 AS rank FROM hosts)"]
+    for k in range(1, iters + 1):
+        layers.append(f"""pr{k} AS (
+  SELECT h.h AS id,
+         0.15/50 + 0.85 * COALESCE((
+           SELECT SUM(p.rank / o.deg)
+           FROM edges e JOIN pr{k-1} p ON p.id = e.src
+           JOIN outdeg o ON o.src = e.src
+           WHERE e.dst = h.h), 0.0) AS rank
+  FROM hosts h)""")
+    body = ",\n".join(layers)
+    return f"""
+WITH hosts AS (SELECT DISTINCT doc_id % 50 AS h FROM documents),
+edges AS (
+  SELECT h AS src, (h + 1) % 50 AS dst FROM hosts
+  UNION SELECT h, (h * 2 + 1) % 50 FROM hosts
+  UNION SELECT h, 0 FROM hosts WHERE h % 7 = 3
+),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+{body}
+SELECT id, ROUND(rank, 6) AS rank FROM pr{iters} ORDER BY id
+"""
+
+
+ORACLE_HOST_PAGERANK = _pagerank_oracle_sql()
+
+
 def q_unicode_nfc(spark, sf_dir):
     """Unicode NFC normalization -- the canonicalization step that makes
     hash-based dedup sound (a decomposed 'é' and a precomposed 'é'
