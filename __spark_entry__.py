@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": R.q_unicode_nfc,
         # host-graph PageRank (iterative; crawl prioritization signal)
         "host_pagerank": R.q_host_pagerank,
+        "tfidf_topk": R.q_tfidf_topk,
         "char_entropy": R.q_char_entropy,
         "token_stats": R.q_token_stats,
         "quality_score": R.q_quality_score,
@@ -500,6 +501,7 @@ ORDER BY doc_id, rep
         "mojibake_fix": R.ORACLE_MOJIBAKE,
         "unicode_nfc": R.ORACLE_UNICODE_NFC,
         "host_pagerank": R.ORACLE_HOST_PAGERANK,
+        "tfidf_topk": R.ORACLE_TFIDF,
         "char_entropy": R.ORACLE_CHAR_ENTROPY,
         "token_stats": R.ORACLE_TOKEN_STATS,
         "quality_score": R.ORACLE_QUALITY,

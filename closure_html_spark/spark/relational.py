@@ -1065,6 +1065,65 @@ FROM u ORDER BY doc_id
 """
 
 
+def q_tfidf_topk(spark, sf_dir, k: int = 3):
+    """Per-document top-k keywords by TF-IDF -- the IR primitive behind
+    keyword extraction and sparse retrieval.  Shape: one explode to
+    (doc, term) with map-side-combined counts, document frequencies as a
+    second partial agg over distinct (doc, term) -- Σdf rows, never the
+    corpus -- then idf = ln(N/df) joined back and a per-doc top-k window.
+    N from the documents parquet footer (no count job).  Deterministic
+    tie-break (score desc, term asc) keeps the oracle exact; scores
+    rounded to 6 for cross-engine float compare."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = _parquet_n_rows(sf_dir, "documents")
+    if n_docs is None:
+        n_docs = docs.count()  # non-local input: explicit, not hidden
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")) \
+        .filter(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(df_, "term")
+              .select("doc_id", "term",
+                      F.round(F.col("tf") * F.log(F.lit(float(n_docs)) /
+                                                  F.col("df")), 6)
+                      .alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("doc_id", "term", "score", "rnk")
+            .orderBy("doc_id", "rnk"))
+
+
+def _tfidf_oracle_sql(k: int = 3) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS term
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+       WHERE term <> '' GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS c FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln((SELECT c FROM n) * 1.0 / df.df), 6) AS score
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS INT) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, score, rnk FROM ranked WHERE rnk <= {k}
+ORDER BY doc_id, rnk
+"""
+
+
+ORACLE_TFIDF = _tfidf_oracle_sql()
+
+
 def pagerank(edges, iters: int = 5, damping: float = 0.85,
              n_nodes: int | None = None):
     """PageRank over an (src, dst) edge DataFrame -- the web-graph rank
