@@ -249,7 +249,12 @@ def main():
                     lo_leg, hi_leg = (x, y) if x["threads"] == lo else (y, x)
                     pairs.append(pair_eff(lo_leg, hi_leg))
             if pairs:
-                return max(pairs, key=lambda p: p[0]), pairs
+                # select the pair maximizing min(raw, normalized): a
+                # window where the two measures AGREE is cleaner than one
+                # where a hw-calibration swing inflates raw (observed:
+                # raw 0.889/norm 0.578 selected over 0.834/0.865)
+                return max(pairs,
+                           key=lambda p: min(p[0], p[1] or 0.0)), pairs
             one = pair_eff(runs[lo], runs[hi])
             return one, [one]
 
