@@ -44,7 +44,11 @@ def pdfs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
               "3 0 obj<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
               "/Contents 4 0 R/Resources<</Font<</F1 5 0 R>>>>>>endobj\n"
               "4 0 obj<</Length "),
-        F.length(content).cast("string"),
+        # /Length is a BYTE count: octet length of the utf-8-encoded
+        # stream, not the character count (round-5 advice -- the in-repo
+        # parser ignores /Length, but the synthesized corpus should be
+        # valid for conforming external readers too)
+        F.length(F.encode(content, "utf-8")).cast("string"),
         F.lit(">>stream\n"), content, F.lit("\nendstream\nendobj\n"
               "5 0 obj<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>"
               "endobj\ntrailer<</Root 1 0 R>>\n%%EOF\n"))
@@ -63,8 +67,9 @@ def pdf_extract_pages(df: DataFrame,
     from ..pdf import extract_pdf_text
 
     ids = [name for name, _ in df.dtypes if name in id_cols]
-    id_ddl = ", ".join(f"{n} {t}" for n, t in df.dtypes if n in id_cols)
-    schema = id_ddl + ", pdf_text string, n_streams int, pdf_error string"
+    schema = ", ".join(
+        [f"{n} {t}" for n, t in df.dtypes if n in id_cols]
+        + ["pdf_text string", "n_streams int", "pdf_error string"])
     arrow_schema = to_arrow_schema(StructType.fromDDL(schema))
 
     def fn(batches):

@@ -979,8 +979,14 @@ def robots_rules(robots_df):
         "host", F.posexplode(F.split("robots", "\n")).alias("pos", "line"))
     kind = F.lower(F.trim(F.regexp_extract("line", r"^\s*([A-Za-z-]+)\s*:", 1)))
     value = F.trim(F.regexp_extract("line", r":\s*([^#]*)", 1))
+    # blank/comment lines and non-group directives (Sitemap: ...) are
+    # TRANSPARENT for group detection (RFC 9309 §2.2.1 permits them between
+    # the user-agent lines of one group): drop them BEFORE the lag window,
+    # so a UA line starts a new group only when the previous RETAINED line
+    # was a rule (or start of file)
     parsed = lines.select("host", "pos", kind.alias("kind"),
-                          value.alias("value"))
+                          value.alias("value")) \
+        .filter(F.col("kind").isin("user-agent", "allow", "disallow"))
     wseq = Window.partitionBy("host").orderBy("pos")
     is_ua = (F.col("kind") == "user-agent").cast("int")
     new_grp = ((is_ua == 1) &
@@ -1287,10 +1293,13 @@ def q_pii_redact(spark, sf_dir):
     closed-form (the corpus text itself carries no digits/@)."""
     docs = _t(spark, sf_dir, "documents")
     i = F.col("doc_id").cast("string")
+    # NANP-shaped 3-3-4 phone (round-5 advice: the old 555-01XX-1234 form
+    # was 3-4-4 and never matched PII_PHONE_RE, leaving the [PHONE] path
+    # vacuously green); tests/test_relational_edges.py asserts n_phones >= 1
     dirty = F.concat(
         F.col("text"),
-        F.lit(" contact user"), i, F.lit("@mail.example or call 555-01"),
-        F.format_string("%02d", F.col("doc_id") % 100),
+        F.lit(" contact user"), i, F.lit("@mail.example or call 555-"),
+        F.format_string("%03d", F.col("doc_id") % 1000),
         F.lit("-1234 from 10.0."), (F.col("doc_id") % 256).cast("string"),
         F.lit(".7"))
     redacted = F.regexp_replace(
@@ -1315,7 +1324,7 @@ ORACLE_PII_REDACT = f"""
 WITH d AS (
   SELECT doc_id,
          text || ' contact user' || doc_id || '@mail.example or call '
-              || '555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || '555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
               || '-1234 from 10.0.' || (doc_id % 256) || '.7' AS dirty
   FROM documents
 )

@@ -70,9 +70,10 @@ def warc_records_to_pages(df: DataFrame,
     from ..warc import parse_warc_record
 
     ids = [name for name, _ in df.dtypes if name in id_cols]
-    id_ddl = ", ".join(f"{n} {t}, " for n, t in df.dtypes if n in id_cols)
-    schema = (id_ddl + "url string, warc_ts timestamp, html binary, "
-              "content_type string, http_status int, warc_error string")
+    schema = ", ".join(
+        [f"{n} {t}" for n, t in df.dtypes if n in id_cols]
+        + ["url string", "warc_ts timestamp", "html binary",
+           "content_type string", "http_status int", "warc_error string"])
     arrow_schema = to_arrow_schema(StructType.fromDDL(schema))
 
     def fn(batches):

@@ -1,0 +1,71 @@
+"""Edge-case pins from the round-5 advice: the PII phone pattern must
+actually fire, the WARC/PDF stage schemas must survive 0 or 2+ id
+columns, and the synthesized PDF /Length must be a byte count."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from closure_html_spark.spark import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pii_phone_redaction_fires(spark):
+    """Every synthesized doc carries one NANP 3-3-4 phone: n_phones >= 1
+    and the [PHONE] placeholder appears in the redacted text (the old
+    3-4-4 synthesis never matched PII_PHONE_RE, so the gate was green
+    without ever exercising the phone path)."""
+    out = R.q_pii_redact(spark, SF)
+    agg = out.agg(F.min("n_phones").alias("lo"),
+                  F.min("n_emails").alias("le"),
+                  F.min("n_ips").alias("li")).collect()[0]
+    assert agg["lo"] >= 1 and agg["le"] >= 1 and agg["li"] >= 1
+    row = out.limit(1).collect()[0]
+    assert "[PHONE]" in row["clean_text"]
+    assert "[EMAIL]" in row["clean_text"]
+    assert "[IP]" in row["clean_text"]
+
+
+def test_warc_stage_two_id_columns(spark):
+    """id_ddl used to join fragments that each carried a trailing ', ',
+    producing invalid DDL for 2+ id columns."""
+    from closure_html_spark.spark.warcs import (
+        warc_records_to_pages, warcs_from_documents)
+    recs = warcs_from_documents(spark, SF).withColumn(
+        "shard", (F.col("doc_id") % 4).cast("int"))
+    pages = warc_records_to_pages(recs.limit(8),
+                                  id_cols=("doc_id", "shard"))
+    rows = pages.collect()
+    assert len(rows) == 8
+    assert {"doc_id", "shard", "url", "html"} <= set(pages.columns)
+
+
+def test_pdf_stage_zero_and_two_id_columns(spark):
+    """The sibling bug: a leading comma when id_cols is empty."""
+    from closure_html_spark.spark.pdfs import (
+        pdf_extract_pages, pdfs_from_documents)
+    pdfs = pdfs_from_documents(spark, SF).limit(4)
+    no_ids = pdf_extract_pages(pdfs, id_cols=())
+    assert no_ids.count() == 4
+    two = pdf_extract_pages(
+        pdfs.withColumn("shard", F.lit(1)), id_cols=("doc_id", "shard"))
+    assert {"doc_id", "shard", "pdf_text"} <= set(two.columns)
+    assert two.count() == 4
+
+
+def test_pdf_length_is_byte_count(spark, tmp_path):
+    """/Length must equal the utf-8 BYTE length of the stream content --
+    pin it with a non-ASCII body where chars != bytes."""
+    from closure_html_spark.spark.pdfs import pdfs_from_documents
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame([(1, "café °degrees")],
+                          "doc_id long, text string") \
+        .write.parquet(str(d))
+    raw = bytes(pdfs_from_documents(spark, str(tmp_path))
+                .collect()[0]["pdf"])
+    m = re.search(rb"/Length (\d+)>>stream\n(.*?)\nendstream", raw,
+                  re.DOTALL)
+    assert m, raw[:200]
+    assert int(m.group(1)) == len(m.group(2))
+    assert len(m.group(2)) > len(m.group(2).decode("utf-8"))

@@ -62,4 +62,21 @@ def test_verdict_plan_broadcasts_rules(spark):
         [(1, "h.ex", "/a")], "i int, host string, path string")
     plan = robots_allowed(urls, rules)._jdf.queryExecution().executedPlan() \
         .toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # both clauses must hold independently (the old 'or' was a tautology:
+    # a SortMergeJoin plan satisfied the second disjunct)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_blank_lines_inside_group_transparent(spark):
+    """RFC 9309's ABNF permits blank lines between the user-agent lines of
+    one group: the rule below belongs to BOTH 'a' and '*'."""
+    assert _rules(spark, "User-agent: a\n\nUser-agent: *\nDisallow: /x\n") \
+        == {(False, "/x")}
+
+
+def test_non_group_directives_transparent(spark):
+    """A Sitemap: line between user-agent lines must not split the group."""
+    assert _rules(spark, "User-agent: a\nSitemap: https://h.ex/s.xml\n"
+                         "User-agent: *\nDisallow: /x\n") \
+        == {(False, "/x")}
