@@ -55,31 +55,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # --- extraction queries (full-pipeline, oracle-checked) ---------------------
 
-def _q_extract_text(spark, sf_dir):
-    pages = pages_from_documents(spark, sf_dir)
-    return (extract_pages(pages, id_cols=("doc_id",))
-            .select("doc_id", "extracted_text").orderBy("doc_id"))
-
-
-def _q_extract_main(spark, sf_dir):
-    pages = pages_from_documents(spark, sf_dir)
-    return (extract_pages(pages, id_cols=("doc_id",))
-            .select("doc_id", "main_text").orderBy("doc_id"))
-
-
-def _q_extract_title(spark, sf_dir):
-    pages = pages_from_documents(spark, sf_dir)
-    return (extract_pages(pages, id_cols=("doc_id",))
-            .select("doc_id", "title").orderBy("doc_id"))
-
-
-def _q_extract_spans(spark, sf_dir):
-    """Span accounting: template 0 always yields 3 blocks (nav, content,
-    footer) and the main span length equals the document text length."""
+def _q_extract_doc(spark, sf_dir):
+    """ONE wide extraction gate covering title + extracted_text +
+    main_text + span accounting (template 0 always yields 3 blocks --
+    nav, content, footer -- and the main span length equals the document
+    text length).  Round-5 verdict #1: the four single-column gates
+    (extract_text/main/title/spans) re-ran the same extraction four
+    times and crowded the driver's 50-entry correctness window; this one
+    query pins every column they pinned, in one pass."""
     pages = pages_from_documents(spark, sf_dir)
     ext = extract_pages(pages, id_cols=("doc_id",))
     return (ext.select(
-        "doc_id",
+        "doc_id", "title", "extracted_text", "main_text",
         F.size("spans").alias("n_spans"),
         F.length("main_text").alias("main_len")).orderBy("doc_id"))
 
@@ -156,32 +143,25 @@ def _q_extract_links(spark, sf_dir):
         .orderBy("doc_id"))
 
 
-def _q_extract_text_variants(spark, sf_dir):
+def _q_extract_variants(spark, sf_dir):
     """Tag-soup repair under the hard correctness signal: replay extraction
     over the 4-template variant corpus (tile=4/variants=4 -- the same corpus
-    warn_histogram counts) and check the repaired EXTRACTED TEXT per page.
-    The soup wrappers of templates 1-3 are constants, so each variant's
-    output is a closed-form prefix + the template-0 closed form; any drift
-    in the ~25 heuristic repair rules / resolve insertions / post-mortem
-    merge shifts the text and breaks the oracle loudly (round-4 verdict
-    next-round #1)."""
+    warn_histogram counts) and check the repaired EXTRACTED TEXT, span
+    count AND outlinks per page.  The soup wrappers of templates 1-3 are
+    constants, so each variant's output is a closed-form prefix + the
+    template-0 closed form; any drift in the ~25 heuristic repair rules /
+    resolve insertions / post-mortem merge shifts the text, and every
+    template carries exactly the three core hrefs (/, /about, /c), so the
+    oracle also breaks if repair ever drops or duplicates an A node inside
+    a mis-nested table/list/font wrapper.  (Merges the round-4 twin gates
+    extract_text_variants + extract_links_variants into one extraction
+    pass -- round-5 verdict #1.)"""
     pages = pages_from_documents(spark, sf_dir, tile=4, variants=4)
-    ext = extract_pages(pages, id_cols=("doc_id", "rep"))
+    ext = extract_pages(pages, id_cols=("doc_id", "rep"),
+                        columns=("extracted_text", "spans", "links"))
     return (ext.select(
         "doc_id", "rep", "extracted_text",
-        F.size("spans").alias("n_spans"))
-        .orderBy("doc_id", "rep"))
-
-
-def _q_extract_links_variants(spark, sf_dir):
-    """Variants twin of extract_links: every template carries exactly the
-    three core hrefs (/, /about, /c) regardless of surrounding soup -- the
-    oracle breaks if repair ever drops or duplicates an A node inside a
-    mis-nested table/list/font wrapper."""
-    pages = pages_from_documents(spark, sf_dir, tile=4, variants=4)
-    ext = extract_pages(pages, id_cols=("doc_id", "rep"), columns=("links",))
-    return (ext.select(
-        "doc_id", "rep",
+        F.size("spans").alias("n_spans"),
         F.size("links").cast("long").alias("n_links"),
         F.array_join(F.array_sort("links"), ",").alias("hrefs"))
         .orderBy("doc_id", "rep"))
@@ -292,23 +272,117 @@ def _q_nodes_histogram(spark, sf_dir):
             .orderBy("name"))
 
 
+# --- merged per-doc stat gates (round-5 verdict #1: fold redundant gates
+# so every registered query fits the driver's 50-entry window; each merge
+# JOINS the component queries on doc_id, so the component code AND its
+# oracle closed form stay fully exercised) -----------------------------------
+
+def _q_text_stats(spark, sf_dir):
+    """char_entropy + token_stats in one gate (inner join on doc_id --
+    entropy excludes empty-text docs on both engines)."""
+    return (R.q_char_entropy(spark, sf_dir)
+            .join(R.q_token_stats(spark, sf_dir), "doc_id")
+            .orderBy("doc_id"))
+
+
+ORACLE_TEXT_STATS = f"""
+SELECT a.doc_id, a.entropy, a.n_distinct_chars,
+       b.n_chars_m, b.n_tokens, b.n_bpeish, b.n_distinct, b.ttr
+FROM ({R.ORACLE_CHAR_ENTROPY}) a JOIN ({R.ORACLE_TOKEN_STATS}) b
+  ON a.doc_id = b.doc_id
+ORDER BY a.doc_id
+"""
+
+
+def _q_quality_signals(spark, sf_dir):
+    """quality_score (stopword ratio / mean word length) + the Gopher
+    rule set (Rae et al. 2021) in one gate."""
+    return (R.q_quality_score(spark, sf_dir)
+            .join(R.q_gopher_quality(spark, sf_dir), "doc_id")
+            .orderBy("doc_id"))
+
+
+ORACLE_QUALITY_SIGNALS = f"""
+SELECT a.doc_id, a.n_stop, a.stop_ratio, a.mean_wlen,
+       b.n_words, b.mean_word_len, b.alpha_frac, b.sym_frac,
+       b.stop_hits, b.keep
+FROM ({R.ORACLE_QUALITY}) a JOIN ({R.ORACLE_GOPHER}) b
+  ON a.doc_id = b.doc_id
+ORDER BY a.doc_id
+"""
+
+
+def _q_normalize_text(spark, sf_dir):
+    """mojibake repair (JVM encode/decode exprs) + Unicode NFC (Arrow
+    stage) in one gate."""
+    return (R.q_mojibake_fix(spark, sf_dir)
+            .join(R.q_unicode_nfc(spark, sf_dir), "doc_id")
+            .orderBy("doc_id"))
+
+
+ORACLE_NORMALIZE_TEXT = f"""
+SELECT a.doc_id, a.fixed_text, b.nfc_text, b.nfc_len
+FROM ({R.ORACLE_MOJIBAKE}) a JOIN ({R.ORACLE_UNICODE_NFC}) b
+  ON a.doc_id = b.doc_id
+ORDER BY a.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # full-pipeline extraction (parse + repair + extract, oracle-checked)
-        "extract_text": _q_extract_text,
-        "extract_main": _q_extract_main,
-        "extract_title": _q_extract_title,
-        "extract_spans": _q_extract_spans,
+    """EXACTLY 50 entries -- the driver's correctness gate verifies the
+    first 50 keys, so the registry is sized to fit entirely inside the
+    window (round-5 verdict #1: 10 round-4/5 queries sat past it,
+    permanently unverified).  Redundant single-column gates are merged
+    (extract_doc, extract_variants, text_stats, quality_signals,
+    normalize_text); the merged-away components keep local-only DuckDB
+    replay via aux_queries()/aux_oracle_sql().  Queries that have never
+    had a driver-green row are registered FIRST as defense in depth
+    against any future window shrink."""
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- never driver-verified before round 6 (new or past-window) ---
+        # one wide extraction gate: title/text/main/spans in one pass
+        "extract_doc": _q_extract_doc,
+        # tag-soup repair: variant text + spans + links in one pass
+        "extract_variants": _q_extract_variants,
+        # merged per-doc stats (components exercised via the join)
+        "text_stats": _q_text_stats,
+        "quality_signals": _q_quality_signals,
+        "normalize_text": _q_normalize_text,
+        # PDF/layout parse (north_rule tier leg; real simple-PDF parser)
+        "pdf_extract": q_pdf_extract,
+        # WARC ingest (CC archive grammar + HTTP-header charset seeding)
+        "warc_extract": q_warc_extract,
+        # the composed end-to-end corpus transform (parse -> quality ->
+        # dedup), every stage under the same oracle
+        "corpus_clean_pipeline": _q_corpus_clean_pipeline,
+        # multi-DTD catalog parse (netscape-bookmark) under the gate
+        "bookmarks": _q_bookmarks,
+        "simhash": R.q_simhash,
+        # EXACT O(N^2) baseline -- gate/recall reference ONLY, never the
+        # scale path (use embedding_neardup_lsh at any real corpus size)
+        "embedding_neardup": R.q_embedding_neardup,
+        # index-sizing params PINNED to the static oracle constants
+        # (band_bits=4 / n_cells=16): the queries self-size from table
+        # stats by default, but the gate must replay identically on ANY
+        # corpus size -- the sizing rules themselves are asserted by
+        # tests/test_lsh_scale.py, not this gate
+        "embedding_neardup_lsh": lambda s, d: R.q_embedding_neardup_lsh(
+            s, d, band_bits=4),
+        # connected components over the LSH pair graph (iterative min-label
+        # propagation; band_bits pinned like the pair query it builds on)
+        "neardup_clusters": lambda s, d: R.q_neardup_clusters(
+            s, d, band_bits=4),
+        # multimodal plumbing
+        "media_decode": q_media_decode,
+        "media_meta": q_media_meta,
+        # --- full-pipeline extraction (parse + repair + extract) ---
         "serialize_roundtrip": _q_serialize_roundtrip,
         "nodes_histogram": _q_nodes_histogram,
         "extract_links": _q_extract_links,
         "tokens_histogram": _q_tokens_histogram,
         "warn_histogram": _q_warn_histogram,
         "host_stats": _q_host_stats,
-        # tag-soup repair under the oracle (variant templates 1-3)
-        "extract_text_variants": _q_extract_text_variants,
-        "extract_links_variants": _q_extract_links_variants,
-        # relational shell (SURVEY.md §2.10)
+        # --- relational shell (SURVEY.md §2.10) ---
         "pricing_summary": R.q_pricing_summary,
         "top_revenue_nations": R.q_top_revenue_nations,
         "order_priority": R.q_order_priority,
@@ -316,11 +390,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": R.q_sessionize,
         "set_ops": R.q_set_ops,
         "string_datetime": R.q_string_datetime,
-        # training-data ops
+        # --- training-data ops ---
         "dedup_exact": R.q_dedup_exact,
-        "paragraph_dedup": R.q_paragraph_dedup,
         # realistic C4-style span length (round-3 verdict #7: 3 words is a
-        # toy; 50-word shared spans are near-certain cross-doc duplication)
+        # toy; 50-word shared spans are near-certain cross-doc duplication;
+        # the toy chunk_words=3 report stays in aux_queries)
         "paragraph_dedup_50": lambda s, d: R.q_paragraph_dedup(
             s, d, chunk_words=50),
         # the removal transform that follows the report: clean_text with
@@ -335,30 +409,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl politeness: robots.txt groups + longest-match verdicts
         "robots_filter": R.q_robots_filter,
         "sentence_chunks": R.q_sentence_chunks,
-        "mojibake_fix": R.q_mojibake_fix,
-        "unicode_nfc": R.q_unicode_nfc,
         # host-graph PageRank (iterative; crawl prioritization signal)
         "host_pagerank": R.q_host_pagerank,
         "tfidf_topk": R.q_tfidf_topk,
-        "char_entropy": R.q_char_entropy,
-        "token_stats": R.q_token_stats,
-        "quality_score": R.q_quality_score,
-        "gopher_quality": R.q_gopher_quality,
         "repetition_stats": R.q_repetition_stats,
         "fingerprint": R.q_fingerprint,
         "winnow_fingerprint": R.q_winnow_fingerprint,
-        "ngram_shingles": R.q_ngram_shingles,
         "jaccard_pairs": R.q_jaccard_pairs,
+        # EXACT brute-force top-k baseline (broadcast query side); the
+        # scale paths are the LSH/IVF twins below
         "ann_cosine_topk": R.q_ann_cosine_topk,
-        # index-sizing params PINNED to the static oracle constants
-        # (band_bits=4 / n_cells=16): the queries self-size from table
-        # stats by default, but the gate must replay identically on ANY
-        # corpus size -- the sizing rules themselves are asserted by
-        # tests/test_lsh_scale.py, not this gate
         "ann_lsh_topk": lambda s, d: R.q_ann_lsh_topk(s, d, band_bits=4),
         "ann_ivf_topk": lambda s, d: R.q_ann_ivf_topk(s, d, n_cells=16),
-        "minhash_bands": R.q_minhash_bands,
-        # MinHash estimator over banded candidates (signatures-only join)
+        # MinHash estimator over banded candidates (signatures-only join;
+        # the bands-only report stays in aux_queries)
         "minhash_est_pairs": R.q_minhash_est_pairs,
         # text-side pipeline end: clusters + survivors over the estimated
         # pair graph (doc_id counterpart of neardup_clusters)
@@ -367,46 +431,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dedup_clean": R.q_text_dedup_clean,
         "lang_id": R.q_lang_id,
         "mime_class": R.q_mime_class,
-        "simhash": R.q_simhash,
-        "embedding_neardup": R.q_embedding_neardup,
-        "embedding_neardup_lsh": lambda s, d: R.q_embedding_neardup_lsh(
-            s, d, band_bits=4),
-        # connected components over the LSH pair graph (iterative min-label
-        # propagation; band_bits pinned like the pair query it builds on)
-        "neardup_clusters": lambda s, d: R.q_neardup_clusters(
-            s, d, band_bits=4),
-        # multimodal plumbing
-        "media_decode": q_media_decode,
-        "media_meta": q_media_meta,
-        # PDF/layout parse (north_rule tier leg; real simple-PDF parser)
-        "pdf_extract": q_pdf_extract,
-        # the composed end-to-end corpus transform (parse -> quality ->
-        # dedup), every stage under the same oracle
-        "corpus_clean_pipeline": _q_corpus_clean_pipeline,
-        # WARC ingest (CC archive grammar + HTTP-header charset seeding)
-        "warc_extract": q_warc_extract,
-        # multi-DTD catalog parse (netscape-bookmark) under the gate
-        "bookmarks": _q_bookmarks,
+    }
+    assert len(q) == 50, f"driver window is 50 entries; got {len(q)}"
+    return q
+
+
+def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gates pruned from the driver's 50-entry window whose DISTINCT
+    output shape is still worth an oracle: replayed by
+    tests/test_entry_oracle.py exactly like queries(), just not by the
+    driver.  (Everything merged into extract_doc / extract_variants /
+    text_stats / quality_signals / normalize_text is exercised THROUGH
+    those gates and needs no aux entry.)"""
+    return {
+        # toy chunk size kept as the documented small-span report
+        "paragraph_dedup": R.q_paragraph_dedup,
+        # banded signature report (minhash_est_pairs consumes these bands)
+        "minhash_bands": R.q_minhash_bands,
+        # per-doc distinct-shingle counts (jaccard's input representation)
+        "ngram_shingles": R.q_ngram_shingles,
+    }
+
+
+def aux_oracle_sql() -> dict[str, str]:
+    return {
+        "paragraph_dedup": R.ORACLE_PARAGRAPH_DEDUP,
+        "minhash_bands": R.ORACLE_MINHASH,
+        "ngram_shingles": R.ORACLE_NGRAM,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "extract_text": (
-            f"SELECT doc_id, {ORACLE_EXTRACTED_TEXT} AS extracted_text "
-            "FROM documents ORDER BY doc_id"),
-        "extract_main": (
-            f"SELECT doc_id, {ORACLE_MAIN_TEXT} AS main_text "
-            "FROM documents ORDER BY doc_id"),
-        "extract_title": (
-            f"SELECT doc_id, {ORACLE_TITLE} AS title "
-            "FROM documents ORDER BY doc_id"),
         # n_spans = 3 is pinned to template 0 (nav/content/footer), the ONLY
-        # template _q_extract_spans synthesizes (pages_from_documents
+        # template _q_extract_doc synthesizes (pages_from_documents
         # defaults); revisit if that query ever runs variant templates
-        "extract_spans": (
-            "SELECT doc_id, 3 AS n_spans, "
-            "CAST(LENGTH(text) AS INT) AS main_len "
+        "extract_doc": (
+            f"SELECT doc_id, {ORACLE_TITLE} AS title, "
+            f"{ORACLE_EXTRACTED_TEXT} AS extracted_text, "
+            f"{ORACLE_MAIN_TEXT} AS main_text, "
+            "3 AS n_spans, CAST(LENGTH(text) AS INT) AS main_len "
             "FROM documents ORDER BY doc_id"),
         "serialize_roundtrip": (
             "SELECT doc_id, 0 AS mismatch FROM documents ORDER BY doc_id"),
@@ -479,8 +543,9 @@ SELECT * FROM (
         # variant corpus: 4 reps/doc, variant = (doc_id+rep)%4; each
         # variant's repaired extraction is a fixed soup prefix + the
         # template-0 closed form (constants measured against the parser,
-        # kept in pages.py next to the templates)
-        "extract_text_variants": f"""
+        # kept in pages.py next to the templates); every template carries
+        # exactly the three core hrefs
+        "extract_variants": f"""
 WITH p AS (
   SELECT doc_id, r.rep, text
   FROM documents, (SELECT UNNEST([0,1,2,3]) AS rep) r
@@ -488,14 +553,10 @@ WITH p AS (
 SELECT doc_id, rep,
        {ORACLE_VARIANT_PREFIX}
          || 'home about' || text || 'contact © 2026' AS extracted_text,
-       CAST({ORACLE_VARIANT_NSPANS} AS INT) AS n_spans
-FROM p ORDER BY doc_id, rep
-""",
-        "extract_links_variants": """
-SELECT doc_id, r.rep, CAST(3 AS BIGINT) AS n_links,
+       CAST({ORACLE_VARIANT_NSPANS} AS INT) AS n_spans,
+       CAST(3 AS BIGINT) AS n_links,
        '/,/about,/c' AS hrefs
-FROM documents, (SELECT UNNEST([0,1,2,3]) AS rep) r
-ORDER BY doc_id, rep
+FROM p ORDER BY doc_id, rep
 """,
         "pricing_summary": R.ORACLE_PRICING,
         "top_revenue_nations": R.ORACLE_TOP_REVENUE,
@@ -505,7 +566,6 @@ ORDER BY doc_id, rep
         "set_ops": R.ORACLE_SET_OPS,
         "string_datetime": R.ORACLE_STRING_DATETIME,
         "dedup_exact": R.ORACLE_DEDUP_EXACT,
-        "paragraph_dedup": R.ORACLE_PARAGRAPH_DEDUP,
         "paragraph_dedup_50": R.ORACLE_PARAGRAPH_DEDUP_50,
         "paragraph_clean_50": R.ORACLE_PARAGRAPH_CLEAN_50,
         "url_canonical": R.ORACLE_URL_CANONICAL,
@@ -513,24 +573,19 @@ ORDER BY doc_id, rep
         "pii_redact": R.ORACLE_PII_REDACT,
         "robots_filter": R.ORACLE_ROBOTS_FILTER,
         "sentence_chunks": R.ORACLE_SENTENCE_CHUNKS,
-        "mojibake_fix": R.ORACLE_MOJIBAKE,
-        "unicode_nfc": R.ORACLE_UNICODE_NFC,
+        "normalize_text": ORACLE_NORMALIZE_TEXT,
         "host_pagerank": R.ORACLE_HOST_PAGERANK,
         "tfidf_topk": R.ORACLE_TFIDF,
-        "char_entropy": R.ORACLE_CHAR_ENTROPY,
-        "token_stats": R.ORACLE_TOKEN_STATS,
-        "quality_score": R.ORACLE_QUALITY,
-        "gopher_quality": R.ORACLE_GOPHER,
+        "text_stats": ORACLE_TEXT_STATS,
+        "quality_signals": ORACLE_QUALITY_SIGNALS,
         "repetition_stats": R.ORACLE_REPETITION,
         "fingerprint": R.ORACLE_FINGERPRINT,
         "winnow_fingerprint": R.ORACLE_WINNOW,
-        "ngram_shingles": R.ORACLE_NGRAM,
         "jaccard_pairs": R.ORACLE_JACCARD_PAIRS,
         "ann_cosine_topk": R.ORACLE_ANN,
         "lang_id": R.ORACLE_LANG_ID,
         "mime_class": R.ORACLE_MIME_CLASS,
         "simhash": R.ORACLE_SIMHASH,
-        "minhash_bands": R.ORACLE_MINHASH,
         "minhash_est_pairs": R.ORACLE_MINHASH_EST,
         "text_dedup_clusters": R.ORACLE_TEXT_DEDUP_CLUSTERS,
         "text_dedup_clean": R.ORACLE_TEXT_DEDUP_CLEAN,

@@ -46,13 +46,30 @@ def normalize(df):
 
 
 QUERIES = sorted(entry_mod.queries().keys())
+AUX = sorted(entry_mod.aux_queries().keys())
 
 
-@pytest.mark.parametrize("name", QUERIES)
+def test_registry_consistency():
+    """Every oracle key must name a registered query (a stale oracle for a
+    pruned query silently tests nothing), registries must not overlap, and
+    every aux query must keep its oracle (aux exists ONLY to retain
+    oracle coverage for gates pruned from the driver window)."""
+    q, aux = set(QUERIES), set(AUX)
+    assert not (q & aux), q & aux
+    assert set(entry_mod.oracle_sql()) <= q, \
+        set(entry_mod.oracle_sql()) - q
+    assert set(entry_mod.aux_oracle_sql()) == aux
+
+
+def _lookup(name):
+    return {**entry_mod.queries(), **entry_mod.aux_queries()}[name], \
+        {**entry_mod.oracle_sql(), **entry_mod.aux_oracle_sql()}.get(name)
+
+
+@pytest.mark.parametrize("name", QUERIES + AUX)
 def test_query_vs_oracle(spark, ducks, name):
-    q = entry_mod.queries()[name]
+    q, oracle = _lookup(name)
     sdf = q(spark, SF_DIR).toPandas()
-    oracle = entry_mod.oracle_sql().get(name)
     if oracle is None:
         assert len(sdf) >= 0  # rows-only check
         return
