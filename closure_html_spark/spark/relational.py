@@ -2044,7 +2044,8 @@ def _rhp_bands(emb_col, band_bits: int, n_bands: int, dim: int = 64):
 
 def q_embedding_neardup_lsh(spark, sf_dir, threshold: float = 0.4,
                             band_bits: int | None = None, n_bands: int = 8,
-                            n_rows: int | None = None):
+                            n_rows: int | None = None,
+                            max_bucket: int | None = 65536):
     """Scale path for embedding near-dup: random-hyperplane LSH bucket
     self-join + exact cosine rerank, instead of the O(N^2) crossJoin.
 
@@ -2058,6 +2059,21 @@ def q_embedding_neardup_lsh(spark, sf_dir, threshold: float = 0.4,
     test_embedding_neardup_lsh_recall pins recall against it, and the
     DuckDB oracle replays the signature bit-for-bit (md5 sign matrix).
 
+    Hot-bucket guard (the jaccard max_df pattern): the sizing rule targets
+    ~2^10 EXPECTED rows per bucket, but on real embeddings one degenerate
+    signature (zero vectors, a boilerplate-dominated cluster) can swallow
+    a large fraction of the corpus, and |bucket|^2 inside a single bucket
+    reintroduces the crossJoin.  max_bucket (default 64x the expected
+    occupancy -- fires only on pathological skew, never at gate scale, so
+    the DuckDB oracle needs no cap clause) keeps the first max_bucket
+    members per (band, val) bucket (deterministic: lowest vec_id first,
+    ties impossible), bounding candidates at n_bands * n_buckets *
+    max_bucket^2 / 2.  Pairs among dropped members of a hot bucket are
+    lost to THIS band only -- they remain candidates through their other
+    n_bands-1 signatures, and a genuinely near-dup mega-cluster keeps its
+    kept-member core (the survivors a dedup pass retains anyway).  Pass
+    max_bucket=None to disable.
+
     Self-sizing reads N from parquet footer statistics (no scan job);
     pass n_rows (e.g. from catalog table stats) or band_bits explicitly
     when the input is not a local parquet table."""
@@ -2066,6 +2082,12 @@ def q_embedding_neardup_lsh(spark, sf_dir, threshold: float = 0.4,
         band_bits = lsh_band_bits(_embeddings_n_rows(emb, sf_dir, n_rows))
     bands = _rhp_bands(F.col("embedding"), band_bits, n_bands)
     banded = emb.select("vec_id", F.explode(bands).alias("bk"))
+    if max_bucket is not None:
+        # window partitions on the SAME key the self-join shuffles on, so
+        # the exchange is shared (ReusedExchange), not an extra shuffle
+        wcap = Window.partitionBy("bk").orderBy("vec_id")
+        banded = (banded.withColumn("_rn", F.row_number().over(wcap))
+                  .filter(F.col("_rn") <= max_bucket).drop("_rn"))
     a = banded.select(F.col("vec_id").alias("a_id"), F.col("bk").alias("a_bk"))
     b = banded.select(F.col("vec_id").alias("b_id"), F.col("bk").alias("b_bk"))
     pairs = (a.join(b, a.a_bk == b.b_bk)             # bucket equi-join
@@ -2451,7 +2473,7 @@ def q_winnow_fingerprint_expr(spark, sf_dir, k: int = 8, w: int = 16):
 
 def q_neardup_clusters(spark, sf_dir, threshold: float = 0.4,
                        band_bits: int | None = None, n_bands: int = 8,
-                       max_iter: int = 25):
+                       max_iter: int = 25, max_bucket: int | None = 65536):
     """Near-duplicate CLUSTER assignment: connected components over the
     LSH near-dup pair graph -- the step a real dedup pipeline runs after
     pair generation (keep ONE survivor per cluster, not one per pair;
@@ -2476,7 +2498,8 @@ def q_neardup_clusters(spark, sf_dir, threshold: float = 0.4,
     replays it with a recursive transitive-closure CTE over the same
     md5-sign-matrix LSH pairs."""
     pairs = q_embedding_neardup_lsh(spark, sf_dir, threshold, band_bits,
-                                    n_bands).select("a_id", "b_id")
+                                    n_bands, max_bucket=max_bucket) \
+        .select("a_id", "b_id")
     labels = connected_components(pairs, max_iter=max_iter)
     return (labels.select(
         F.col("id").alias("vec_id"), F.col("label").alias("cluster"),

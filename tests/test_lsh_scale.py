@@ -107,6 +107,29 @@ def test_lsh_bucket_occupancy_and_candidate_count(spark):
     assert occ["pairs"] < 0.5 * N * (N - 1) / 2
 
 
+def test_lsh_hot_bucket_guard(spark, tmp_path):
+    """Degenerate skew fixture: every vector IDENTICAL, so the whole table
+    lands in ONE (band, val) bucket per band and the uncapped self-join is
+    the full clique C(N,2) -- exactly the within-bucket N^2 the sizing
+    rule cannot prevent.  max_bucket keeps the lowest-vec_id max_bucket
+    members per bucket; identical vectors keep the SAME members in every
+    band, so the result (all pairs at sim 1.0 >= threshold) is exactly
+    C(max_bucket, 2): bounded, deterministic, and the mega-cluster keeps
+    its kept-member core."""
+    from closure_html_spark.spark import relational as R
+    N, cap = 400, 30
+    df = spark.range(N).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.37)] * 64).cast("array<float>").alias("embedding"))
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+    capped = R.q_embedding_neardup_lsh(
+        spark, str(tmp_path), band_bits=4, max_bucket=cap).count()
+    assert capped == cap * (cap - 1) // 2
+    uncapped = R.q_embedding_neardup_lsh(
+        spark, str(tmp_path), band_bits=4, max_bucket=None).count()
+    assert uncapped == N * (N - 1) // 2, "skew fixture lost its hot bucket"
+
+
 def test_ivf_kmeans_refinement_improves_recall(spark):
     """Lloyd refinement of the deterministic-sample IVF centroids must not
     lose recall at equal n_probe on the pinned corpus -- and on this
