@@ -1,9 +1,13 @@
 """Benchmark driver: headline extraction throughput + relational queries.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line LAST on stdout:
   {"metric": "extract_docs_per_sec", "value": <total-sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <sf>, "docs_per_sec": ...,
-   "scaling": {...two-parallelism-level protocol results...}}
+   "scaling": {...efficiency summary...}, "full_results": "BENCH_FULL.json"}
+The full auditable spread (per-leg wall samples, adjacent-pair lists, both
+relational passes, rest probes) is written to the BENCH_FULL.json sidecar
+(override with SPARK_GRAFT_BENCH_SIDECAR) -- round 5's single fat line
+outgrew the driver's tail capture and parsed as null.
 
 Scaling protocol (BASELINE.md / north_rule): the same extraction job runs at
 N and 4N parallelism on the same input; efficiency = thr(4N) / (4*thr(N)).
@@ -322,7 +326,32 @@ def main():
     result["queries"] = timings
     result["queries_passes"] = passes
     result["value"] = round(sum(timings.values()), 3)
-    print(json.dumps(result))
+
+    # Round-5 lesson (VERDICT wrong #4): the full result line outgrew the
+    # driver's tail capture and BENCH_r05 recorded "parsed": null.  The
+    # auditable spread (legs, wall samples, adjacent-pair lists, both
+    # relational passes, rest probes) now goes to a committed sidecar
+    # file; stdout ends with a COMPACT headline JSON line the driver can
+    # always parse.
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL.json"))
+    with open(sidecar, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+
+    compact = {k: result[k] for k in
+               ("metric", "value", "unit", "sf", "docs_per_sec",
+                "mb_per_sec", "n_docs", "avg_doc_bytes") if k in result}
+    compact["queries"] = timings
+    if "scaling" in result:
+        sc = result["scaling"]
+        compact["scaling"] = {
+            k: v for k, v in sc.items()
+            if k != "legs" and not k.endswith("_pairs")}
+    compact["full_results"] = os.path.basename(sidecar)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
