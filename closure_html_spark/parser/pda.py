@@ -645,6 +645,15 @@ def _heuristic(dtd: Dtd, tk: Tokenizer, context, ein: list) -> list:
             return close_ctx
         if in_("TABLE") and is_("FORM"):
             return close_reopen
+        # INTENTIONAL DEVIATION from sgml-parse.lisp:1290-1294: the
+        # reference swaps the first two queue items unconditionally --
+        # `(list* (cadr eingabe) (car eingabe) (cddr eingabe))` -- so a
+        # 1-token queue splices NIL into the token stream (its own comment
+        # concedes "we should better check here wether FORM is open at
+        # all").  With only the /FORM queued there is nothing to swap
+        # behind; we fall through to the default drop (warn level 4)
+        # instead of enqueueing a bogus token.  Pinned both ways by
+        # tests/test_parser_golden.py::test_form_in_tbody_queue_depth.
         if in_("TBODY") and is_("/FORM") and len(ein) >= 2:
             return [ein[1], ein[0]] + ein[2:]
         if (in_("LI") or in_("UL")) and (is_("TD") or is_("/TD")):

@@ -139,6 +139,40 @@ def test_table_repairs():
                     ("UL", (), ("LI", (), "text"))))
 
 
+def test_form_in_tbody_queue_depth():
+    """/FORM in TBODY (sgml-parse.lisp:1290-1294): with a 2-token queue
+    the reference swaps the first two tokens, deferring /FORM behind the
+    next token.  With a 1-token queue the reference's `(cadr eingabe)`
+    splices NIL into the stream (its own comment concedes the missing
+    check); we instead drop the token with a level-4 warn -- the
+    intentional deviation documented at pda._heuristic.  Both depths
+    pinned here."""
+    from closure_html_spark.parser.pda import _etag, _heuristic, _stag
+
+    class Tk:
+        def __init__(self):
+            self.warnings = []
+
+        def warn(self, lvl, msg):
+            self.warnings.append((lvl, msg))
+
+    ctx = _stag("TBODY")
+    tk = Tk()
+    out = _heuristic(DTD, tk, ctx, [_etag("FORM"), _etag("TABLE")])
+    assert out == [_etag("TABLE"), _etag("FORM")]  # the reference swap
+    assert not tk.warnings
+    tk = Tk()
+    out = _heuristic(DTD, tk, ctx, [_etag("FORM")])
+    assert out == []  # dropped, not NIL-spliced
+    assert tk.warnings and tk.warnings[0][0] == 4
+    # end-to-end: the swap defers /FORM past </table>, so FORM closes
+    # around the WHOLE table -- no warnings, no dropped element
+    got = lhtml("<form><table><tr><td>x</td></tr></form></table>")
+    assert got == ("HTML", (), ("HEAD", ()),
+                   ("BODY", (), ("FORM", (), ("TABLE", (),
+                    ("TBODY", (), ("TR", (), ("TD", (), "x")))))))
+
+
 def test_pcdata_in_table_closes_table():
     got = lhtml("<table>oops<tr><td>x</td></tr></table>")
     # heuristic: close table (empty node remains), re-process pcdata,
