@@ -92,13 +92,29 @@ def _extract_schema(df: DataFrame, id_cols: tuple[str, ...]) -> str:
     return ", ".join(id_fields) + ", " + EXTRACT_RESULT_COLS
 
 
+MAX_DOC_BYTES_DEFAULT = 64 * 1024 * 1024  # 64 MiB
+
+
 def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                   default_charset: str = "utf-8",
                   engine: str = "arrow",
                   columns: tuple[str, ...] | None = None,
                   packed_spans: bool = False,
-                  out_batch_rows: int | None = None) -> DataFrame:
+                  out_batch_rows: int | None = None,
+                  max_doc_bytes: int | None = MAX_DOC_BYTES_DEFAULT
+                  ) -> DataFrame:
     """Parse + extract every page.  Keeps `id_cols` as passthrough keys.
+
+    max_doc_bytes: per-document byte cap (default 64 MiB, None disables).
+    The session's Arrow batch caps bound the BATCH, but one pathological
+    page -- a 500 MB binary mislabeled text/html -- is still one row
+    inside it, and parse output (node arrays, spans, serialized text) is
+    proportional to input, so a single such row can blow a worker's
+    memory at 10^12-document scale.  Oversize pages are truncated to the
+    cap and parsed normally (the reference's own buffered xstream reads
+    never require whole-document lookahead), with the row marked
+    charset='error:oversize' and one level-5 parse warning counted --
+    monitoring queries see exactly how many docs were clipped.
 
     If the input has a `content_type` column (WARC-style HTTP header), its
     charset parameter seeds the decoder; a <meta> charset still overrides
@@ -151,7 +167,8 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
         raise ValueError("out_batch_rows requires engine='arrow'")
     if engine == "arrow":
         return _extract_pages_arrow(df, id_cols, default_charset, columns,
-                                    packed_spans, out_batch_rows)
+                                    packed_spans, out_batch_rows,
+                                    max_doc_bytes)
     schema = _extract_schema(df, id_cols)
     has_ct = "content_type" in df.columns
     cols = list(id_cols) + ["html"] + (["content_type"] if has_ct else [])
@@ -168,8 +185,13 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                 # an exception anywhere in the try can never leave the
                 # column lists at different lengths (round-4 verdict #3)
                 try:
+                    raw_b = bytes(raw)
+                    oversize = (max_doc_bytes is not None
+                                and len(raw_b) > max_doc_bytes)
+                    if oversize:
+                        raw_b = raw_b[:max_doc_bytes]
                     text, cs = decode_html(
-                        bytes(raw), default_charset,
+                        raw_b, default_charset,
                         cts.iloc[idx] if cts is not None else None)
                     doc = parse_html(dtd, text)
                     res = extract_main_content(doc, dtd)
@@ -186,6 +208,10 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                     for level, _ in doc.warnings:
                         if 1 <= level <= 5:
                             lv[level - 1] += 1
+                    if oversize:
+                        cs = "error:oversize"
+                        lv[4] += 1
+                        nw += 1
                 except Exception as exc:  # never kill the batch for one doc
                     title_v = text_v = ""
                     spans_v, links_v, base_v = [], [], None
@@ -229,7 +255,9 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
                          default_charset: str,
                          columns: tuple[str, ...] | None = None,
                          packed_spans: bool = False,
-                         out_batch_rows: int | None = None) -> DataFrame:
+                         out_batch_rows: int | None = None,
+                         max_doc_bytes: int | None = MAX_DOC_BYTES_DEFAULT
+                         ) -> DataFrame:
     """mapInArrow body of extract_pages: output-column materialization is
     the stage's dominant cost after the round-2 parser fusion (~3x parse
     CPU, SCALE.md frontier #1), and most of it was pandas object-dtype
@@ -293,8 +321,13 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
                 # would shift every later row in the batch (round-4
                 # verdict #3) -- structurally impossible this way
                 try:
+                    raw_b = bytes(htmls[idx])
+                    oversize = (max_doc_bytes is not None
+                                and len(raw_b) > max_doc_bytes)
+                    if oversize:
+                        raw_b = raw_b[:max_doc_bytes]
                     text, cs = decode_html(
-                        bytes(htmls[idx]), default_charset,
+                        raw_b, default_charset,
                         cts[idx] if cts is not None else None)
                     doc = parse_html(dtd, text)
                     if need_extract:
@@ -311,11 +344,15 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
                         links_v, base_v = (), None
                     nn, nw = len(doc.name), len(doc.warnings)
                     lv = (0, 0, 0, 0, 0)
-                    if nw:
+                    if nw or oversize:
                         lv = [0, 0, 0, 0, 0]
                         for level, _ in doc.warnings:
                             if 1 <= level <= 5:
                                 lv[level - 1] += 1
+                    if oversize:
+                        cs = "error:oversize"
+                        lv[4] += 1
+                        nw += 1
                 except Exception as exc:  # never kill the batch for one doc
                     title_v = text_v = ""
                     spans_v, links_v, base_v = (), (), None

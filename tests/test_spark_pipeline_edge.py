@@ -229,6 +229,35 @@ def test_20mb_document_mixed_with_small(spark):
     assert out.count() == 501
 
 
+def test_oversize_doc_cap_truncates_and_marks(spark):
+    """max_doc_bytes: a page past the cap is truncated (the prefix still
+    parses and extracts), marked charset='error:oversize', and counted as
+    ONE level-5 warning; rows in the same batch are untouched.  Both
+    engines agree.  The default 64 MiB cap leaves ordinary corpora
+    unaffected (the 20 MB test above runs under it with zero error
+    rows)."""
+    big = ("<html><body><p>" + "word " * 100_000
+           + "</p></body></html>").encode()
+    rows = [("u_big", bytearray(big)),
+            ("u_ok", bytearray(b"<html><body><p>fine</p></body></html>"))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r for r in extract_pages(
+        df, columns=ALL_COLS, max_doc_bytes=4096).collect()}
+    bigr = out["u_big"]
+    assert bigr["charset"] == "error:oversize"
+    assert bigr["warn_levels"][4] == 1
+    assert bigr["extracted_text"].startswith("word word")
+    assert len(bigr["extracted_text"]) < 5000  # truncated, not full 500 KB
+    assert out["u_ok"]["charset"] == "utf-8"
+    assert out["u_ok"]["extracted_text"] == "fine"
+    p = {r["url"]: r for r in extract_pages(
+        df, engine="pandas", max_doc_bytes=4096).collect()}
+    assert p["u_big"]["charset"] == "error:oversize"
+    assert p["u_big"]["warn_levels"][4] == 1
+    assert p["u_big"]["extracted_text"] == bigr["extracted_text"]
+    assert p["u_big"]["n_warns"] == bigr["n_warns"]
+
+
 def test_out_batch_rows_coalescing_identical(spark):
     """out_batch_rows: coalesced output batches must be value-identical to
     the per-input-batch default (forced multi-batch input via a tiny
