@@ -4,8 +4,11 @@ Reimplements from scratch:
   - serialize-pt / serialize-pt-attributes  html-parser.lisp:104-151
     (pre-order walk; xmlns/xmlns:* attributes dropped)
   - lhtml-builder                           lhtml.lisp:6-44
-  - string sink                             unparse.lisp:68-217
-      * no doctype unless system-id given (default path: none)
+  - walk-lhtml / lhtml->pt (LHTML input)    lhtml.lisp:145-171
+  - string sink                             unparse.lisp:68-233
+      * no doctype unless system-id given (default path: none);
+        serialize_doc(system_id=..., public_id=...) emits the
+        SYSTEM/PUBLIC doctype forms (unparse.lisp:68-84)
       * boolean attribute minimization when the attlist enum's first member
         equals the attribute name (unparse.lisp:104)
       * EMPTY elements get no end tag (:159-162)
@@ -71,6 +74,29 @@ def lhtml_to_json(node):
             [lhtml_to_json(c) for c in node[2:]]]
 
 
+def lhtml_to_doc(node) -> Doc:
+    """LHTML literal -> Doc: the INPUT direction of the LHTML surface
+    (walk-lhtml / lhtml->pt, lhtml.lisp:145-171), inverse of
+    doc_to_lhtml.  Accepts the exact shape doc_to_lhtml renders --
+    ("NAME", ((attr, value), ...), *children) with plain strings as text
+    nodes (the reference's string branch of walk-lhtml; its attribute
+    PLIST becomes our pair tuple).  Lets reference-style LHTML fixtures
+    be used as parser INPUT: build the tree, then serialize_doc it.
+    Iterative, so literal depth is not bounded by Python recursion."""
+    doc = Doc()
+    stack = [(node, -1)]
+    while stack:
+        n, parent = stack.pop()
+        if isinstance(n, str):
+            doc.add(PCDATA, None, n, parent)
+            continue
+        nid = doc.add(n[0], list(n[1]), None, parent)
+        for c in reversed(n[2:]):
+            stack.append((c, nid))
+    doc.root = 0
+    return doc
+
+
 # ---------------------------------------------------------------------------
 # String sink
 
@@ -116,6 +142,39 @@ def _escape_attribute(value: str) -> str:
     return "".join(out)
 
 
+def _escape_dtd_string(data: str) -> str:
+    # unparse-dtd-string / unparse-dtd-char (unparse.lisp:219-233):
+    # % & < > " TAB LF CR.  Defined but never CALLED by the reference
+    # (no code path reaches it -- kept here, unwired, for table parity;
+    # pinned by tests like canon-value, the reference's other orphan).
+    if not any(c in data for c in '%&<>"\t\n\r'):
+        return data
+    return (data.replace("&", "&amp;").replace("%", "&#37;")
+                .replace("<", "&lt;").replace(">", "&gt;")
+                .replace('"', "&quot;").replace("\t", "&#9;")
+                .replace("\n", "&#10;").replace("\r", "&#13;"))
+
+
+def doctype_string(name: str, public_id: str | None = None,
+                   system_id: str | None = None) -> str:
+    """hax:start-document's doctype branch (unparse.lisp:68-84): a
+    doctype is emitted IFF a non-empty system-id is supplied -- PUBLIC
+    form when a public-id is also given, SYSTEM form otherwise; ids are
+    escaped with the unparse-datachar table (unparse-string :179) and the
+    line ends with a newline, exactly as the sink writes it.  The default
+    parse/serialize path passes no system-id and emits nothing."""
+    if not system_id:
+        return ""
+    out = ["<!DOCTYPE ", name]
+    if public_id:
+        out += [' PUBLIC "', _escape_datachar(public_id),
+                '" "', _escape_datachar(system_id), '"']
+    else:
+        out += [' SYSTEM "', _escape_datachar(system_id), '"']
+    out.append(">\n")
+    return "".join(out)
+
+
 def _escape_uri(value: str) -> str:
     # escape-uri-attribute (unparse.lisp:140-149): UTF-8 bytes >= 128 -> %XX
     raw = value.encode("utf-8")
@@ -124,12 +183,19 @@ def _escape_uri(value: str) -> str:
     return "".join(chr(b) if b < 128 else f"%{b:02X}" for b in raw)
 
 
-def serialize_doc(doc: Doc, dtd: Dtd, nid: int | None = None) -> str:
+def serialize_doc(doc: Doc, dtd: Dtd, nid: int | None = None,
+                  public_id: str | None = None,
+                  system_id: str | None = None,
+                  doctype_name: str = "HTML") -> str:
     """Serialize the (sub)tree to an escaped HTML string, reference-identical.
-    No doctype is emitted (chtml:parse passes no system-id)."""
+    By default no doctype is emitted (chtml:parse passes no system-id);
+    supplying system_id= prepends the hax:start-document doctype line
+    (see doctype_string)."""
     if nid is None:
         nid = doc.root
     out: list[str] = []
+    if system_id:
+        out.append(doctype_string(doctype_name, public_id, system_id))
     # iterative pre-order walk with explicit close events -- CC-scale pages
     # contain pathologically deep DOMs that would blow Python recursion
     stack: list[tuple] = [("open", nid, False)]

@@ -209,6 +209,56 @@ def test_unknown_tags_dropped():
     assert got == ("HTML", (), ("HEAD", ()), ("BODY", (), "x", "y"))
 
 
+def test_lhtml_to_doc_roundtrip():
+    """The serialize-lhtml INPUT direction (doc/examples.xml:27-33,
+    lhtml.lisp:145-171 walk-lhtml/lhtml->pt): an LHTML literal consumed
+    as parser-side input, built into a Doc, and serialized."""
+    from closure_html_spark.serialize import lhtml_to_doc, serialize_doc
+
+    lit = ("HTML", (), ("HEAD", ()), ("BODY", (), ("P", (), "nada")))
+    doc = lhtml_to_doc(lit)
+    assert doc_to_lhtml(doc) == lit  # faithful inverse of doc_to_lhtml
+    assert serialize_doc(doc, DTD) == (
+        "<HTML><HEAD></HEAD><BODY><P>nada</P></BODY></HTML>")
+    # literal -> Doc -> serialize matches parse -> serialize for a
+    # repaired document exercising attrs, EMPTY elements and escaping
+    src = '<title>t</title><p class=a>x &amp; y<br><img src="u?a=1&b=2">'
+    assert serialize_doc(lhtml_to_doc(lhtml(src)), DTD) == rt(src)
+
+
+def test_doctype_emission():
+    """Doctype iff system-id (unparse.lisp:68-84): SYSTEM and PUBLIC
+    forms, datachar-escaped ids, newline terminator.  The default path
+    emits nothing -- pinned by every other fixture in this file -- and a
+    public-id ALONE emits nothing either (the reference's plusp check is
+    on system-id only)."""
+    from closure_html_spark.serialize import doctype_string, serialize_doc
+
+    doc = parse_html(DTD, "<p>nada</p>")
+    body = "<HTML><HEAD></HEAD><BODY><P>nada</P></BODY></HTML>"
+    assert serialize_doc(doc, DTD, system_id="http://x/d.dtd") == (
+        '<!DOCTYPE HTML SYSTEM "http://x/d.dtd">\n' + body)
+    assert serialize_doc(
+        doc, DTD, public_id="-//W3C//DTD HTML 4.0//EN",
+        system_id="http://www.w3.org/TR/REC-html40/strict.dtd") == (
+        '<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.0//EN" '
+        '"http://www.w3.org/TR/REC-html40/strict.dtd">\n' + body)
+    assert serialize_doc(doc, DTD, public_id="-//X//EN") == body
+    # the ids route through the unparse-datachar table
+    assert doctype_string("HTML", None, 'a"b&c') == (
+        '<!DOCTYPE HTML SYSTEM "a&quot;b&amp;c">\n')
+
+
+def test_dtd_char_escape_table():
+    """unparse-dtd-char (unparse.lisp:219-233): defined-but-never-called
+    in the reference; table pinned here like canon-value."""
+    from closure_html_spark.serialize import _escape_dtd_string
+
+    assert _escape_dtd_string('a%b&c<d>e"f\tg\nh\ri') == (
+        "a&#37;b&amp;c&lt;d&gt;e&quot;f&#9;g&#10;h&#13;i")
+    assert _escape_dtd_string("plain") == "plain"
+
+
 def test_escape_tables():
     got = rt('<p>a &amp; b < c > d " e\tf\rg</p>')
     assert ("&amp;" in got and "&quot;" in got and "&#13;" in got
