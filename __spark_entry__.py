@@ -450,6 +450,11 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": R.q_minhash_bands,
         # per-doc distinct-shingle counts (jaccard's input representation)
         "ngram_shingles": R.q_ngram_shingles,
+        # corpus assembly (round 6): deterministic hash-threshold
+        # stratified sampling (map-only, no shuffle) and GPT-style
+        # sequence packing (per-shard windows, no global sort)
+        "corpus_sample": R.q_corpus_sample,
+        "pack_sequences": R.q_pack_sequences,
     }
 
 
@@ -458,6 +463,8 @@ def aux_oracle_sql() -> dict[str, str]:
         "paragraph_dedup": R.ORACLE_PARAGRAPH_DEDUP,
         "minhash_bands": R.ORACLE_MINHASH,
         "ngram_shingles": R.ORACLE_NGRAM,
+        "corpus_sample": R.ORACLE_CORPUS_SAMPLE,
+        "pack_sequences": R.ORACLE_PACK_SEQUENCES,
     }
 
 

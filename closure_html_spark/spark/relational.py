@@ -2596,3 +2596,111 @@ SELECT doc_id, COUNT(DISTINCT fp) AS n_fps, MIN(fp) AS min_fp
 FROM (SELECT DISTINCT doc_id, fp FROM wins)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly: deterministic sampling + sequence packing (the two steps
+# between "cleaned corpus" and "tokenizer-ready shards" in an LLM data
+# pipeline; neither exists in the reference -- pure training-data shell)
+
+def q_corpus_sample(spark, sf_dir, rates=None, denom: int = 1000):
+    """Deterministic stratified corpus sampling: keep a doc iff
+    md5(doc_id) mod denom < rate(lang) -- the hash-threshold sampler
+    every corpus mix uses to hit per-language token budgets.
+
+    Scale shape: a MAP-ONLY filter -- no shuffle, no count jobs, no
+    window.  Sampling by content-stable hash (not rand()) makes the
+    sample reproducible across runs/retries/cluster sizes and
+    automatically consistent between incremental loads (a doc's keep
+    decision never changes).  Stratum rates arrive as a plain dict
+    compiled into a CASE expression (a handful of languages -- no join
+    needed; a 10^4-stratum map would broadcast-join instead).  The
+    DuckDB oracle replays the md5 threshold bit-for-bit (the minhash
+    portable-hash pattern)."""
+    rates = rates if rates is not None else {"en": 600, "de": 300}
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long") % denom
+    rate = F.lit(0)
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (docs.withColumn("bucket", h)
+            .filter(F.col("bucket") < rate)
+            .select("doc_id", "lang", "bucket")
+            .orderBy("doc_id"))
+
+
+def _corpus_sample_oracle_sql(rates, denom):
+    cases = " ".join(f"WHEN lang = '{lang}' THEN {r}"
+                     for lang, r in sorted(rates.items()))
+    return f"""
+SELECT doc_id, lang,
+       CAST(from_hex(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIT
+            AS BIGINT) % {denom} AS bucket
+FROM documents
+WHERE CAST(from_hex(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIT
+           AS BIGINT) % {denom} < (CASE {cases} ELSE 0 END)
+ORDER BY doc_id
+"""
+
+
+ORACLE_CORPUS_SAMPLE = _corpus_sample_oracle_sql({"en": 600, "de": 300}, 1000)
+
+
+def q_pack_sequences(spark, sf_dir, budget: int = 512, n_shards: int = 8):
+    """Sequence packing: assign every doc a (shard, seq_id, tok_offset) under
+    GPT-style concatenate-then-split semantics -- docs are concatenated
+    in doc_id order and split into budget-token context windows; seq_id
+    is the window a doc's FIRST token lands in, tok_offset its position
+    inside the concatenation.  The step that turns a cleaned corpus into
+    fixed-length pretraining rows.
+
+    Scale shape: packing is per-SHARD (shard = md5(doc_id) mod n_shards,
+    the url-bucket idiom), so the running sum is a window over each
+    shard's partition -- n_shards independent sorted cumsums, NO global
+    ordering (a single global sort of 10^12 docs is the anti-pattern;
+    real pipelines pack per output shard exactly like this).  Token
+    counts are whitespace words (q_token_stats' n_tokens), computed
+    map-side; only (doc_id, shard, n_tokens) enters the window exchange
+    -- text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))).cast("long")
+    slim = docs.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("long") % n_shards).alias("shard"),
+        n_tok.alias("n_tokens"))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return (slim.select(
+        "doc_id", "shard", "n_tokens",
+        (cum - F.col("n_tokens")).alias("tok_offset"),
+        F.floor((cum - F.col("n_tokens")) / budget).alias("seq_id"))
+        .orderBy("doc_id"))
+
+
+def _pack_sequences_oracle_sql(budget, n_shards):
+    return f"""
+WITH slim AS (
+  SELECT doc_id,
+         CAST(from_hex(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIT
+              AS BIGINT) % {n_shards} AS shard,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END
+           AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+              - n_tokens AS BIGINT) AS tok_offset
+  FROM slim
+)
+SELECT doc_id, shard, n_tokens, tok_offset,
+       CAST(FLOOR(tok_offset / {budget}) AS BIGINT) AS seq_id
+FROM packed ORDER BY doc_id
+"""
+
+
+ORACLE_PACK_SEQUENCES = _pack_sequences_oracle_sql(512, 8)

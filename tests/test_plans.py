@@ -174,3 +174,31 @@ def test_winnow_kernel_matches_relational_definition(spark):
     ref = {tuple(r)
            for r in R.q_winnow_fingerprint_expr(spark, SF).collect()}
     assert fast == ref
+
+
+def test_corpus_sample_map_only(spark):
+    """q_corpus_sample is a map-only hash-threshold filter: scan ->
+    filter -> project with NO hash exchange anywhere (the only exchange
+    is the orderBy's output-shaping rangepartitioning), and the filter
+    sits directly on the column-pruned 2-column parquet scan."""
+    plan = plan_of(R.q_corpus_sample(spark, SF))
+    assert "hashpartitioning" not in plan, "sampler introduced a shuffle"
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema, "sampler read the text payload"
+
+
+def test_pack_sequences_text_never_shuffles(spark):
+    """q_pack_sequences' only wide exchange is the per-shard packing
+    window keyed on `shard`; the rows entering it carry (doc_id, shard,
+    n_tokens) -- the text column is consumed map-side by the token count
+    and never crosses an exchange (nor leaves the scan projection)."""
+    import re
+    plan = plan_of(R.q_pack_sequences(spark, SF))
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys and set(keys) == {"shard"}, f"unexpected exchange keys: {keys}"
+    # the hash-exchange node block must not carry the text column
+    blocks = [b for b in plan.split("\n\n")
+              if "hashpartitioning(shard" in b]
+    assert blocks, "no hash exchange node found"
+    for b in blocks:
+        assert "text" not in b, f"document text entered the exchange:\n{b}"
