@@ -306,6 +306,10 @@ def main():
         ("corpus_clean_pipeline", _q_corpus_clean),
         ("pdf_extract", _q_pdf),
         ("warc_extract", _q_warc),
+        # round-6 additions: corpus assembly (map-only sampler, per-shard
+        # packing windows)
+        ("corpus_sample", R.q_corpus_sample),
+        ("pack_sequences", R.q_pack_sequences),
     ]
     # TWO full passes over the list, min per query: a throttle dip during
     # one pass cannot poison the recorded wall for the queries it clipped

@@ -548,7 +548,8 @@ def q_minhash_bands(spark, sf_dir, n_hashes: int = 16, n_bands: int = 4,
 
 def q_minhash_est_pairs(spark, sf_dir, n_hashes: int = 16, n_bands: int = 4,
                         threshold: float = 0.5,
-                        portable_hash: bool = True):
+                        portable_hash: bool = True,
+                        max_bucket: int | None = 65536):
     """MinHash near-duplicate pairs with ESTIMATED Jaccard -- the second
     stage of the standard MinHash dedup pipeline: banding proposes
     candidates (any shared band bucket, sub-quadratic bucket equi-join),
@@ -557,10 +558,26 @@ def q_minhash_est_pairs(spark, sf_dir, n_hashes: int = 16, n_bands: int = 4,
     document text -- at 100 TB the signatures (n_hashes longs/doc) are
     ~1/1000th of the corpus, so the estimate join is cheap and the exact
     verification (q_jaccard_pairs) runs only on survivors if at all.
-    Ids+signatures only through the shuffle; DuckDB replays everything."""
+    Ids+signatures only through the shuffle; DuckDB replays everything.
+
+    Hot-bucket guard (same pattern as q_embedding_neardup_lsh): a single
+    boilerplate cluster -- thousands of byte-identical error pages share
+    EVERY band bucket -- makes |bucket|^2 pairs inside one bucket, which
+    is the crossJoin again.  max_bucket keeps the first max_bucket members
+    per (band, bucket) (deterministic: lowest doc_id; the window
+    partitions on the join key so the exchange is reused, not added).
+    Pairs among dropped members survive via the doc's other n_bands-1
+    bands unless those are identical too -- i.e. only true mega-dup
+    clusters are trimmed, and a dedup pass keeps one member anyway.  The
+    default (64x any sane expected occupancy) never fires at gate scale,
+    so the DuckDB oracle needs no cap clause; None disables."""
     docs = _t(spark, sf_dir, "documents")
     sigs = _minhash_sigs(docs, n_hashes, portable_hash)
     allb = _minhash_banded(sigs, n_hashes, n_bands, portable_hash)
+    if max_bucket is not None:
+        wcap = Window.partitionBy("band", "bucket").orderBy("doc_id")
+        allb = (allb.withColumn("_rn", F.row_number().over(wcap))
+                .filter(F.col("_rn") <= max_bucket).drop("_rn"))
     a = allb.select(F.col("doc_id").alias("a_id"), "band", "bucket")
     b = allb.select(F.col("doc_id").alias("b_id"), "band", "bucket")
     cand = (a.join(b, ["band", "bucket"])

@@ -130,6 +130,28 @@ def test_lsh_hot_bucket_guard(spark, tmp_path):
     assert uncapped == N * (N - 1) // 2, "skew fixture lost its hot bucket"
 
 
+def test_minhash_hot_bucket_guard(spark, tmp_path):
+    """MinHash twin of test_lsh_hot_bucket_guard: a mega-dup cluster of
+    byte-identical documents has ONE signature, so every band bucket holds
+    the whole corpus and the uncapped band self-join is C(N,2) -- the
+    within-bucket N^2 that banding cannot prevent.  max_bucket keeps the
+    lowest-doc_id members; identical docs keep the SAME members in every
+    band, so the estimated pairs (est_jaccard 1.0 >= threshold) are
+    exactly C(cap,2) and the cluster keeps its kept-member core."""
+    from closure_html_spark.spark import relational as R
+    N, cap = 400, 30
+    df = spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate error page text").alias("text"))
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    capped = R.q_minhash_est_pairs(
+        spark, str(tmp_path), max_bucket=cap).count()
+    assert capped == cap * (cap - 1) // 2
+    uncapped = R.q_minhash_est_pairs(
+        spark, str(tmp_path), max_bucket=None).count()
+    assert uncapped == N * (N - 1) // 2, "skew fixture lost its hot bucket"
+
+
 def test_ivf_kmeans_refinement_improves_recall(spark):
     """Lloyd refinement of the deterministic-sample IVF centroids must not
     lose recall at equal n_probe on the pinned corpus -- and on this
