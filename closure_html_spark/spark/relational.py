@@ -301,20 +301,36 @@ FROM documents ORDER BY doc_id
 """
 
 
-def _shingles(docs, n: int = 3):
-    """Exploded word n-gram shingles: (doc_id, tri).  explode + window-lead
-    keeps everything inside whole-stage codegen -- Spark does NOT codegen
-    higher-order-function lambdas, so the transform/element_at formulation
-    is 5-10x slower at scale."""
+def _ngrams(docs, n: int = 3, out: str = "tri"):
+    """Exploded word n-gram rows: (doc_id, <out>), SHUFFLE-FREE and fully
+    codegen'd.  The grams come from zipping the word array against its own
+    1..n-1 shifted slices -- arrays_zip/slice/explode/concat_ws are all
+    regular (non-lambda) expressions, so unlike the transform/element_at
+    HOF formulation (interpreted, measured 5-10x slower here) everything
+    stays inside whole-stage codegen; and unlike the original window-lead
+    formulation (lead("w", i) over partitionBy(doc_id)) there is NO
+    Exchange: the window version shuffled the EXPLODED WORDS -- ~the full
+    text volume -- on doc_id before hashing, which at 100 TB is a
+    corpus-sized exchange that the "signatures-only shuffle" design of the
+    minhash/jaccard family forbids.  Zip position j carries
+    (words[j], ..., words[j+n-1]) with nulls past each slice's end; nulls
+    appear in HIGHER fields first, so `last field non-null` <=> a complete
+    gram, identical to the old lead-chain filter (plan-asserted by
+    test_plans.py: no Exchange below the gram projection)."""
     words = F.split(F.trim(F.col("text")), r"\s+")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    exploded = docs.select("doc_id", F.posexplode(words).alias("pos", "w"))
-    tri = exploded.select(
-        "doc_id",
-        F.concat_ws(" ", F.col("w"), F.lead("w", 1).over(w),
-                    F.lead("w", 2).over(w)).alias("tri"),
-        F.lead("w", 2).over(w).alias("_w2"))
-    return tri.filter(F.col("_w2").isNotNull()).drop("_w2")
+    cols = [words.alias("w0")] + [
+        F.slice(words, i + 1, F.size(words)).alias(f"w{i}")
+        for i in range(1, n)]
+    exploded = docs.select(
+        "doc_id", F.explode(F.arrays_zip(*cols)).alias("z"))
+    gram = F.concat_ws(" ", *[F.col(f"z.w{i}") for i in range(n)])
+    return (exploded.filter(F.col(f"z.w{n-1}").isNotNull())
+            .select("doc_id", gram.alias(out)))
+
+
+def _shingles(docs, n: int = 3):
+    """Exploded word trigram shingles (doc_id, tri) -- see _ngrams."""
+    return _ngrams(docs, n, out="tri")
 
 
 def q_ngram_shingles(spark, sf_dir):

@@ -74,6 +74,23 @@ def test_no_python_udf_in_relational_queries(spark):
             f"{name} fell off the JVM: Python UDF in plan"
 
 
+def test_shingles_shuffle_free(spark):
+    """_ngrams must build grams with NO Window and NO Exchange below the
+    gram projection: the old lead()-over-partitionBy(doc_id) formulation
+    shuffled the exploded words (~full text volume) before hashing, which
+    at 100 TB is a corpus-sized exchange.  The arrays_zip/slice/explode
+    form keeps a doc's grams in its scan partition, so the only exchanges
+    in any consumer are the hash/signature aggregations."""
+    from closure_html_spark.spark.relational import _shingles, _t
+    docs = _t(spark, SF, "documents")
+    plan = plan_of(_shingles(docs))
+    assert "Window" not in plan, "shingles regressed to a window shuffle"
+    assert "Exchange" not in plan, "exchange below the gram projection"
+    # consumers: minhash signatures must also be window-free
+    plan = plan_of(R.q_minhash_bands(spark, SF))
+    assert "Window" not in plan
+
+
 def test_minhash_single_subplan(spark):
     """The band explode must run over ONE shingle/agg subtree; a unionAll
     of per-band selects re-executes the whole signature subplan per band
