@@ -357,6 +357,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_pipeline": _q_corpus_clean_pipeline,
         # multi-DTD catalog parse (netscape-bookmark) under the gate
         "bookmarks": _q_bookmarks,
+        # --- round-6 additions (never driver-verified) ---
+        # eval-set n-gram overlap scrub (broadcast eval grams; the clean
+        # transform is exercised through it and replayed in aux)
+        "decontaminate": R.q_decontaminate,
+        # deterministic hash-threshold stratified sampling (map-only)
+        "corpus_sample": R.q_corpus_sample,
+        # GPT-style sequence packing (per-shard windows, no global sort)
+        "pack_sequences": R.q_pack_sequences,
         "simhash": R.q_simhash,
         # EXACT O(N^2) baseline -- gate/recall reference ONLY, never the
         # scale path (use embedding_neardup_lsh at any real corpus size)
@@ -413,7 +421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": R.q_host_pagerank,
         "tfidf_topk": R.q_tfidf_topk,
         "repetition_stats": R.q_repetition_stats,
-        "fingerprint": R.q_fingerprint,
+        # (q_fingerprint demoted to aux round 6: the winnowing variant
+        # below subsumes the rolling-hash machinery under the gate)
         "winnow_fingerprint": R.q_winnow_fingerprint,
         "jaccard_pairs": R.q_jaccard_pairs,
         # EXACT brute-force top-k baseline (broadcast query side); the
@@ -424,13 +433,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MinHash estimator over banded candidates (signatures-only join;
         # the bands-only report stays in aux_queries)
         "minhash_est_pairs": R.q_minhash_est_pairs,
-        # text-side pipeline end: clusters + survivors over the estimated
-        # pair graph (doc_id counterpart of neardup_clusters)
-        "text_dedup_clusters": R.q_text_dedup_clusters,
         # the kept corpus: survivors + untouched docs with their text
+        # (text_dedup_clusters demoted to aux round 6: clean consumes the
+        # same connected-components labels; mime_class likewise -- both
+        # were driver-green in r4+r5 and keep local DuckDB replay)
         "text_dedup_clean": R.q_text_dedup_clean,
         "lang_id": R.q_lang_id,
-        "mime_class": R.q_mime_class,
     }
     assert len(q) == 50, f"driver window is 50 entries; got {len(q)}"
     return q
@@ -450,11 +458,13 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": R.q_minhash_bands,
         # per-doc distinct-shingle counts (jaccard's input representation)
         "ngram_shingles": R.q_ngram_shingles,
-        # corpus assembly (round 6): deterministic hash-threshold
-        # stratified sampling (map-only, no shuffle) and GPT-style
-        # sequence packing (per-shard windows, no global sort)
-        "corpus_sample": R.q_corpus_sample,
-        "pack_sequences": R.q_pack_sequences,
+        # demoted from the gate round 6 to make room for the corpus
+        # assembly + decontamination ops (driver-green r4+r5)
+        "fingerprint": R.q_fingerprint,
+        "text_dedup_clusters": R.q_text_dedup_clusters,
+        "mime_class": R.q_mime_class,
+        # the decontaminated corpus (report is under the gate)
+        "decontaminate_clean": R.q_decontaminate_clean,
     }
 
 
@@ -463,8 +473,10 @@ def aux_oracle_sql() -> dict[str, str]:
         "paragraph_dedup": R.ORACLE_PARAGRAPH_DEDUP,
         "minhash_bands": R.ORACLE_MINHASH,
         "ngram_shingles": R.ORACLE_NGRAM,
-        "corpus_sample": R.ORACLE_CORPUS_SAMPLE,
-        "pack_sequences": R.ORACLE_PACK_SEQUENCES,
+        "fingerprint": R.ORACLE_FINGERPRINT,
+        "text_dedup_clusters": R.ORACLE_TEXT_DEDUP_CLUSTERS,
+        "mime_class": R.ORACLE_MIME_CLASS,
+        "decontaminate_clean": R.ORACLE_DECONTAMINATE_CLEAN,
     }
 
 
@@ -586,16 +598,16 @@ FROM p ORDER BY doc_id, rep
         "text_stats": ORACLE_TEXT_STATS,
         "quality_signals": ORACLE_QUALITY_SIGNALS,
         "repetition_stats": R.ORACLE_REPETITION,
-        "fingerprint": R.ORACLE_FINGERPRINT,
         "winnow_fingerprint": R.ORACLE_WINNOW,
         "jaccard_pairs": R.ORACLE_JACCARD_PAIRS,
         "ann_cosine_topk": R.ORACLE_ANN,
         "lang_id": R.ORACLE_LANG_ID,
-        "mime_class": R.ORACLE_MIME_CLASS,
         "simhash": R.ORACLE_SIMHASH,
         "minhash_est_pairs": R.ORACLE_MINHASH_EST,
-        "text_dedup_clusters": R.ORACLE_TEXT_DEDUP_CLUSTERS,
         "text_dedup_clean": R.ORACLE_TEXT_DEDUP_CLEAN,
+        "decontaminate": R.ORACLE_DECONTAMINATE,
+        "corpus_sample": R.ORACLE_CORPUS_SAMPLE,
+        "pack_sequences": R.ORACLE_PACK_SEQUENCES,
         "embedding_neardup": R.ORACLE_EMBEDDING_NEARDUP,
         # the LSH oracles replay the md5-derived hyperplane sign matrix
         # bit-for-bit (constants baked into both plans); band_bits=4 in the

@@ -2737,3 +2737,92 @@ FROM packed ORDER BY doc_id
 
 
 ORACLE_PACK_SEQUENCES = _pack_sequences_oracle_sql(512, 8)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: eval-set n-gram overlap (the train/test leakage scrub
+# every LLM pipeline runs before training -- GPT-3 appendix C's 13-gram
+# overlap filter is the canonical form; pure training-data shell, no
+# reference counterpart)
+
+def q_decontaminate(spark, sf_dir, n: int = 8, eval_mod: int = 7):
+    """Contamination report: every TRAIN document (doc_id % eval_mod != 0)
+    sharing at least one word n-gram with the held-out EVAL split
+    (doc_id % eval_mod == 0), with its count of distinct shared grams.
+    The split is a deterministic stand-in for "the benchmark suite" --
+    in production the eval side is a separate tiny table of benchmark
+    prompts/answers and the train side is the corpus.
+
+    Scale shape: eval benchmarks are MBs against a 100 TB corpus, so the
+    distinct eval grams BROADCAST; train grams are built shuffle-free
+    (_ngrams: zip-against-shifted-slices, no window) and stream out of
+    the scan partition straight into the broadcast hash semi-join, so no
+    corpus-sized exchange exists anywhere -- the only shuffle carries
+    (doc_id, gram) for MATCHED grams only (rare by construction).  At
+    production scale the broadcast key would be xxhash64(gram) (8 bytes
+    vs the string); the gate joins on the gram itself so the DuckDB
+    oracle replays exactly with no cross-engine hash dependency."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    long_enough = docs.filter(F.size(words) >= n)
+    is_eval = (F.col("doc_id") % eval_mod) == 0
+    eval_grams = (_ngrams(long_enough.filter(is_eval), n, out="gram")
+                  .select("gram").distinct())
+    train_grams = _ngrams(long_enough.filter(~is_eval), n, out="gram")
+    return (train_grams.join(F.broadcast(eval_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gram").cast("int").alias("n_shared_grams"))
+            .orderBy("doc_id"))
+
+
+def _decontaminate_gram_cte(n: int, eval_mod: int) -> str:
+    return f"""
+w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ws
+      FROM documents),
+g AS (
+  SELECT doc_id,
+         UNNEST([array_to_string(ws[i:i+{n - 1}], ' ')
+                 FOR i IN range(1, LEN(ws) - {n - 2})]) AS gram
+  FROM w WHERE LEN(ws) >= {n}
+),
+e AS (SELECT DISTINCT gram FROM g WHERE doc_id % {eval_mod} = 0),
+t AS (SELECT doc_id, gram FROM g WHERE doc_id % {eval_mod} != 0)"""
+
+
+def _decontaminate_oracle_sql(n: int = 8, eval_mod: int = 7) -> str:
+    return f"""
+WITH {_decontaminate_gram_cte(n, eval_mod)}
+SELECT t.doc_id, CAST(COUNT(DISTINCT t.gram) AS INT) AS n_shared_grams
+FROM t JOIN e USING (gram)
+GROUP BY t.doc_id ORDER BY doc_id
+"""
+
+
+ORACLE_DECONTAMINATE = _decontaminate_oracle_sql(8, 7)
+
+
+def q_decontaminate_clean(spark, sf_dir, n: int = 8, eval_mod: int = 7):
+    """The decontaminated TRAIN corpus: train docs with zero shared
+    n-grams against the eval split, with their text.  Contaminated ids
+    are a tiny frame (the q_decontaminate report), so the removal is a
+    broadcast LEFT-ANTI join -- the text payload never enters a shuffle,
+    same pattern as q_text_dedup_clean / q_paragraph_dedup_clean."""
+    dirty = q_decontaminate(spark, sf_dir, n, eval_mod).select("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.filter((F.col("doc_id") % eval_mod) != 0)
+            .join(F.broadcast(dirty), "doc_id", "left_anti")
+            .select("doc_id", "text").orderBy("doc_id"))
+
+
+def _decontaminate_clean_oracle_sql(n: int = 8, eval_mod: int = 7) -> str:
+    return f"""
+WITH {_decontaminate_gram_cte(n, eval_mod)},
+dirty AS (SELECT DISTINCT t.doc_id FROM t JOIN e USING (gram))
+SELECT doc_id, text FROM documents
+WHERE doc_id % {eval_mod} != 0
+  AND doc_id NOT IN (SELECT doc_id FROM dirty)
+ORDER BY doc_id
+"""
+
+
+ORACLE_DECONTAMINATE_CLEAN = _decontaminate_clean_oracle_sql(8, 7)
