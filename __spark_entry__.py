@@ -465,6 +465,8 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_class": R.q_mime_class,
         # the decontaminated corpus (report is under the gate)
         "decontaminate_clean": R.q_decontaminate_clean,
+        # alpha-sampling mix planner (feeds q_corpus_sample's rates)
+        "domain_mix": R.q_domain_mix,
     }
 
 
@@ -477,6 +479,7 @@ def aux_oracle_sql() -> dict[str, str]:
         "text_dedup_clusters": R.ORACLE_TEXT_DEDUP_CLUSTERS,
         "mime_class": R.ORACLE_MIME_CLASS,
         "decontaminate_clean": R.ORACLE_DECONTAMINATE_CLEAN,
+        "domain_mix": R.ORACLE_DOMAIN_MIX,
     }
 
 

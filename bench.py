@@ -310,6 +310,9 @@ def main():
         # packing windows)
         ("corpus_sample", R.q_corpus_sample),
         ("pack_sequences", R.q_pack_sequences),
+        # eval-overlap scrub (broadcast eval grams over shuffle-free
+        # train grams)
+        ("decontaminate", R.q_decontaminate),
     ]
     # TWO full passes over the list, min per query: a throttle dip during
     # one pass cannot poison the recorded wall for the queries it clipped

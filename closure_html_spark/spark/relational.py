@@ -2826,3 +2826,60 @@ ORDER BY doc_id
 
 
 ORACLE_DECONTAMINATE_CLEAN = _decontaminate_clean_oracle_sql(8, 7)
+
+
+def q_domain_mix(spark, sf_dir, alpha: float = 0.3):
+    """Corpus mix planning: per-language token totals, natural share, and
+    the temperature-smoothed target share p_l^alpha / sum(p^alpha) --
+    the XLM-R/mT5 alpha-sampling rule that up-weights low-resource
+    strata -- plus the resulting over/under-sampling factor.  The output
+    of this report is exactly the `rates` dict q_corpus_sample consumes.
+
+    Scale shape: one partial-agg groupBy over (lang) -- the exchange
+    carries ONE ROW PER LANGUAGE of (sum, count), nothing else; shares
+    are computed via a single-partition window over the per-lang rows
+    (|langs| rows total, trivially driver-sized)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))).cast("long")
+    per_lang = (docs.select("lang", n_tok.alias("n"))
+                .groupBy("lang")
+                .agg(F.sum("n").alias("lang_tokens"),
+                     F.count(F.lit(1)).alias("n_docs")))
+    w = Window.partitionBy()
+    share = F.col("lang_tokens") / F.sum("lang_tokens").over(w)
+    smoothed = F.pow(share, F.lit(alpha))
+    target = smoothed / F.sum(smoothed).over(w)
+    return (per_lang.select(
+        "lang", "lang_tokens", "n_docs",
+        F.round(share, 6).alias("natural_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target / share, 6).alias("sample_factor"))
+        .orderBy("lang"))
+
+
+def _domain_mix_oracle_sql(alpha: float = 0.3) -> str:
+    return f"""
+WITH per_lang AS (
+  SELECT lang,
+         SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END)
+           AS lang_tokens,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY lang
+),
+shares AS (
+  SELECT lang, lang_tokens, n_docs,
+         lang_tokens / SUM(lang_tokens) OVER () AS share,
+         POW(lang_tokens / SUM(lang_tokens) OVER (), {alpha}) AS sm
+  FROM per_lang
+)
+SELECT lang, CAST(lang_tokens AS BIGINT) AS lang_tokens, n_docs,
+       ROUND(share, 6) AS natural_share,
+       ROUND(sm / SUM(sm) OVER (), 6) AS target_share,
+       ROUND((sm / SUM(sm) OVER ()) / share, 6) AS sample_factor
+FROM shares ORDER BY lang
+"""
+
+
+ORACLE_DOMAIN_MIX = _domain_mix_oracle_sql(0.3)
