@@ -361,6 +361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # eval-set n-gram overlap scrub (broadcast eval grams; the clean
         # transform is exercised through it and replayed in aux)
         "decontaminate": R.q_decontaminate,
+        # new-batch ingest vs persisted corpus index: exact-hash +
+        # minhash-band classification, index side never shuffled
+        "incremental_dedup": R.q_incremental_dedup,
         # deterministic hash-threshold stratified sampling (map-only)
         "corpus_sample": R.q_corpus_sample,
         # GPT-style sequence packing (per-shard windows, no global sort)
@@ -430,9 +433,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": R.q_ann_cosine_topk,
         "ann_lsh_topk": lambda s, d: R.q_ann_lsh_topk(s, d, band_bits=4),
         "ann_ivf_topk": lambda s, d: R.q_ann_ivf_topk(s, d, n_cells=16),
-        # MinHash estimator over banded candidates (signatures-only join;
-        # the bands-only report stays in aux_queries)
-        "minhash_est_pairs": R.q_minhash_est_pairs,
+        # (minhash_est_pairs demoted to aux round 6: its banding +
+        # signature-agreement machinery runs under the gate through BOTH
+        # text_dedup_clean and incremental_dedup)
         # the kept corpus: survivors + untouched docs with their text
         # (text_dedup_clusters demoted to aux round 6: clean consumes the
         # same connected-components labels; mime_class likewise -- both
@@ -467,6 +470,9 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_clean": R.q_decontaminate_clean,
         # alpha-sampling mix planner (feeds q_corpus_sample's rates)
         "domain_mix": R.q_domain_mix,
+        # demoted r6 (machinery gated via text_dedup_clean +
+        # incremental_dedup)
+        "minhash_est_pairs": R.q_minhash_est_pairs,
     }
 
 
@@ -480,6 +486,7 @@ def aux_oracle_sql() -> dict[str, str]:
         "mime_class": R.ORACLE_MIME_CLASS,
         "decontaminate_clean": R.ORACLE_DECONTAMINATE_CLEAN,
         "domain_mix": R.ORACLE_DOMAIN_MIX,
+        "minhash_est_pairs": R.ORACLE_MINHASH_EST,
     }
 
 
@@ -606,7 +613,7 @@ FROM p ORDER BY doc_id, rep
         "ann_cosine_topk": R.ORACLE_ANN,
         "lang_id": R.ORACLE_LANG_ID,
         "simhash": R.ORACLE_SIMHASH,
-        "minhash_est_pairs": R.ORACLE_MINHASH_EST,
+        "incremental_dedup": R.ORACLE_INCREMENTAL_DEDUP,
         "text_dedup_clean": R.ORACLE_TEXT_DEDUP_CLEAN,
         "decontaminate": R.ORACLE_DECONTAMINATE,
         "corpus_sample": R.ORACLE_CORPUS_SAMPLE,
