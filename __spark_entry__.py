@@ -368,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": R.q_corpus_sample,
         # GPT-style sequence packing (per-shard windows, no global sort)
         "pack_sequences": R.q_pack_sequences,
+        # in-engine CCNet-style classifier training (GD as partial aggs)
+        "quality_classifier": R.q_quality_classifier,
         "simhash": R.q_simhash,
         # EXACT O(N^2) baseline -- gate/recall reference ONLY, never the
         # scale path (use embedding_neardup_lsh at any real corpus size)
@@ -399,7 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority": R.q_order_priority,
         "window_user_events": R.q_window_user_events,
         "sessionize": R.q_sessionize,
-        "set_ops": R.q_set_ops,
+        # (set_ops demoted to aux round 6 to make room; r2+ green)
         "string_datetime": R.q_string_datetime,
         # --- training-data ops ---
         "dedup_exact": R.q_dedup_exact,
@@ -473,6 +475,7 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted r6 (machinery gated via text_dedup_clean +
         # incremental_dedup)
         "minhash_est_pairs": R.q_minhash_est_pairs,
+        "set_ops": R.q_set_ops,
     }
 
 
@@ -487,6 +490,7 @@ def aux_oracle_sql() -> dict[str, str]:
         "decontaminate_clean": R.ORACLE_DECONTAMINATE_CLEAN,
         "domain_mix": R.ORACLE_DOMAIN_MIX,
         "minhash_est_pairs": R.ORACLE_MINHASH_EST,
+        "set_ops": R.ORACLE_SET_OPS,
     }
 
 
@@ -592,8 +596,8 @@ FROM p ORDER BY doc_id, rep
         "order_priority": R.ORACLE_ORDER_PRIORITY,
         "window_user_events": R.ORACLE_WINDOW,
         "sessionize": R.ORACLE_SESSIONIZE,
-        "set_ops": R.ORACLE_SET_OPS,
         "string_datetime": R.ORACLE_STRING_DATETIME,
+        "quality_classifier": R.ORACLE_QUALITY_CLASSIFIER,
         "dedup_exact": R.ORACLE_DEDUP_EXACT,
         "paragraph_dedup_50": R.ORACLE_PARAGRAPH_DEDUP_50,
         "paragraph_clean_50": R.ORACLE_PARAGRAPH_CLEAN_50,

@@ -3013,3 +3013,150 @@ ORDER BY d.doc_id
 
 
 ORACLE_INCREMENTAL_DEDUP = _incremental_dedup_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier training: CCNet/fastText-style linear filter trained
+# INSIDE the engine (the pipeline step that turns a trusted seed corpus
+# into a quality score for every crawled page; no reference counterpart)
+
+def _quality_features(docs, label):
+    """Raw per-doc features as pure column exprs: English-stopword
+    ratio, mean word length / 10, log10 word count / 4.  `label` is a
+    Column producing the 0/1 seed label."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    stops = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(r"\b" + _EN_STOP + r"\b"), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        label.cast("int").alias("y"),
+        (stops / n_words).alias("x1"),
+        ((F.length("text") + 1) / n_words / 10.0).alias("x2"),
+        (F.log10(1.0 + n_words) / 4.0).alias("x3"))
+
+
+def train_quality_classifier(feats, iters: int = 5, lr: float = 2.0):
+    """Full-batch gradient-descent logistic regression expressed as Spark
+    aggregations over a (doc_id, y, x1..x3) frame: one partial-agg pass
+    standardizes the features (mean/stddev become part of the model,
+    as in any production filter), then each GD iteration is ONE
+    map-side partial-agg pass producing a 4-float mean gradient.
+    Weights live on the driver (7 floats total -- the same
+    tiny-driver-stats class as lineage manifests) and re-enter the next
+    pass as literals, so nothing iterative ever shuffles: per iteration
+    the exchange carries ONE ROW of partial gradient sums.
+
+    Returns (scored DataFrame ordered by doc_id, weights list)."""
+    st = feats.agg(*[f(c).alias(f"{n}{c}")
+                     for c in ("x1", "x2", "x3")
+                     for n, f in (("m", F.avg), ("s", F.stddev_samp))]
+                   ).collect()[0]
+    z_of = lambda w: (
+        F.lit(w[0])
+        + F.lit(w[1]) * (F.col("x1") - F.lit(st["mx1"])) / F.lit(st["sx1"])
+        + F.lit(w[2]) * (F.col("x2") - F.lit(st["mx2"])) / F.lit(st["sx2"])
+        + F.lit(w[3]) * (F.col("x3") - F.lit(st["mx3"])) / F.lit(st["sx3"]))
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(iters):
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_of(w))) - F.col("y")
+        xs = [F.lit(1.0),
+              (F.col("x1") - F.lit(st["mx1"])) / F.lit(st["sx1"]),
+              (F.col("x2") - F.lit(st["mx2"])) / F.lit(st["sx2"]),
+              (F.col("x3") - F.lit(st["mx3"])) / F.lit(st["sx3"])]
+        g = feats.agg(*[F.avg(err * x).alias(f"g{j}")
+                        for j, x in enumerate(xs)]).collect()[0]
+        w = [w[j] - lr * g[j] for j in range(4)]
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_of(w)))
+    scored = (feats.select(
+        "doc_id", "y",
+        F.round(p, 4).alias("p_quality"),
+        (p >= 0.5).cast("int").alias("pred"))
+        .orderBy("doc_id"))
+    return scored, w
+
+
+def q_quality_classifier(spark, sf_dir, iters: int = 5, lr: float = 2.0):
+    """Train a CCNet/fastText-style quality classifier INSIDE the engine
+    and score every document.  The gate's seed label is the
+    deterministic length rule ``n_words >= 50`` -- learnable from the
+    features and non-trivially so (boundary recovered through the
+    log-compressed x3 plus noise from x1/x2), reaching ~0.96 train
+    accuracy vs a 0.55 base rate on testdata.  (The obvious
+    ``lang == 'en'`` label is UNLEARNABLE here: testdata's lang column
+    is uncorrelated with its synthetic text, checked r6 -- a classifier
+    gate on it would pin a constant-majority predictor.)  Production
+    swaps in "page from a trusted domain list" exactly like CCNet's
+    Wikipedia seed; learning on a genuinely separable text signal is
+    additionally pinned by tests/test_quality_classifier.py.
+
+    Scale shape: 1 + iters full scans with partial agg, driver state =
+    7 floats -- at 100 TB you'd train on a 0.1% q_corpus_sample (the
+    sampler is map-only) and score the full corpus once, which is
+    exactly how the production filters are fit.  The DuckDB oracle
+    unrolls standardization + iterations as stacked one-row CTEs (the
+    pagerank pattern) and replays the identical float arithmetic;
+    scores round to 4dp."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    feats = _quality_features(_t(spark, sf_dir, "documents"),
+                              F.size(words) >= 50)
+    scored, _w = train_quality_classifier(feats, iters, lr)
+    return scored
+
+
+def _quality_classifier_oracle_sql(iters: int = 5, lr: float = 2.0) -> str:
+    """Unrolled replay: standardization CTE, then one CTE layer per GD
+    iteration, each a one-row weight frame CROSS JOINed into the next
+    gradient pass."""
+    feat = f"""
+raw AS (
+  SELECT doc_id,
+         CASE WHEN LEN(regexp_split_to_array(TRIM(text), '\\s+')) >= 50
+              THEN 1 ELSE 0 END AS y,
+         LEN(regexp_extract_all(text, '\\b{_EN_STOP}\\b'))
+           / LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS x1,
+         (LENGTH(text) + 1)
+           / LEN(regexp_split_to_array(TRIM(text), '\\s+')) / 10.0 AS x2,
+         LOG10(1.0 + LEN(regexp_split_to_array(TRIM(text), '\\s+')))
+           / 4.0 AS x3
+  FROM documents
+),
+st AS (
+  SELECT AVG(x1) m1, STDDEV_SAMP(x1) s1, AVG(x2) m2, STDDEV_SAMP(x2) s2,
+         AVG(x3) m3, STDDEV_SAMP(x3) s3
+  FROM raw
+),
+feats AS (
+  SELECT doc_id, y, (x1 - m1) / s1 AS x1, (x2 - m2) / s2 AS x2,
+         (x3 - m3) / s3 AS x3
+  FROM raw CROSS JOIN st
+),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    layers = []
+    for i in range(iters):
+        layers.append(f"""
+w{i + 1} AS (
+  SELECT w.w0 - {lr} * AVG(1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1
+           + w.w2 * f.x2 + w.w3 * f.x3))) - f.y) AS w0,
+         w.w1 - {lr} * AVG((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1
+           + w.w2 * f.x2 + w.w3 * f.x3))) - f.y) * f.x1) AS w1,
+         w.w2 - {lr} * AVG((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1
+           + w.w2 * f.x2 + w.w3 * f.x3))) - f.y) * f.x2) AS w2,
+         w.w3 - {lr} * AVG((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1
+           + w.w2 * f.x2 + w.w3 * f.x3))) - f.y) * f.x3) AS w3
+  FROM feats f CROSS JOIN w{i} w
+  GROUP BY w.w0, w.w1, w.w2, w.w3
+)""")
+    return f"""
+WITH {feat},{",".join(layers)}
+SELECT f.doc_id, f.y,
+       ROUND(1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+             + w.w3 * f.x3))), 4) AS p_quality,
+       CASE WHEN 1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+             + w.w3 * f.x3))) >= 0.5 THEN 1 ELSE 0 END AS pred
+FROM feats f CROSS JOIN w{iters} w
+ORDER BY f.doc_id
+"""
+
+
+ORACLE_QUALITY_CLASSIFIER = _quality_classifier_oracle_sql(5, 2.0)
