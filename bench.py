@@ -313,6 +313,10 @@ def main():
         # eval-overlap scrub (broadcast eval grams over shuffle-free
         # train grams)
         ("decontaminate", R.q_decontaminate),
+        # ingest-vs-index classification (broadcast batch frames)
+        ("incremental_dedup", R.q_incremental_dedup),
+        # in-engine GD training (1 + iters one-row partial-agg passes)
+        ("quality_classifier", R.q_quality_classifier),
     ]
     # TWO full passes over the list, min per query: a throttle dip during
     # one pass cannot poison the recorded wall for the queries it clipped

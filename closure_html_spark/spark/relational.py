@@ -2917,8 +2917,15 @@ def incremental_dedup(index_docs, batch_docs, n_hashes: int = 16,
     exact_ids = (i_hash.join(F.broadcast(b_hash), "h")
                  .select("doc_id").distinct())
 
-    i_sigs = _minhash_sigs(index_docs, n_hashes)
-    b_sigs = _minhash_sigs(batch_docs, n_hashes)
+    # Materialize each signature table ONCE (localCheckpoint, the
+    # connected_components precedent): both sides feed two consumers
+    # (bands + the estimator join) and Catalyst does not dedupe common
+    # subplans, so without this every consumer re-runs the full
+    # shingle+minhash scan.  This is the in-query mirror of the
+    # persisted index: production reads i_sigs/i_bands from the stored
+    # corpus-index table instead of computing them at all.
+    i_sigs = _minhash_sigs(index_docs, n_hashes).localCheckpoint()
+    b_sigs = _minhash_sigs(batch_docs, n_hashes).localCheckpoint()
     i_bands = _minhash_banded(i_sigs, n_hashes, n_bands)
     if max_bucket is not None:
         wcap = Window.partitionBy("band", "bucket").orderBy("doc_id")
