@@ -370,6 +370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": R.q_pack_sequences,
         # in-engine CCNet-style classifier training (GD as partial aggs)
         "quality_classifier": R.q_quality_classifier,
+        # BPE tokenizer training (distributed word counter + bounded
+        # driver merge loop, the sentencepiece architecture)
+        "bpe_merges": R.q_bpe_merges,
         "simhash": R.q_simhash,
         # EXACT O(N^2) baseline -- gate/recall reference ONLY, never the
         # scale path (use embedding_neardup_lsh at any real corpus size)
@@ -398,7 +401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- relational shell (SURVEY.md §2.10) ---
         "pricing_summary": R.q_pricing_summary,
         "top_revenue_nations": R.q_top_revenue_nations,
-        "order_priority": R.q_order_priority,
+        # (order_priority demoted to aux round 6; r2+ green, its
+        # join+agg+sort pattern stays gated via top_revenue_nations)
         "window_user_events": R.q_window_user_events,
         "sessionize": R.q_sessionize,
         # (set_ops demoted to aux round 6 to make room; r2+ green)
@@ -476,6 +480,7 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental_dedup)
         "minhash_est_pairs": R.q_minhash_est_pairs,
         "set_ops": R.q_set_ops,
+        "order_priority": R.q_order_priority,
     }
 
 
@@ -491,6 +496,7 @@ def aux_oracle_sql() -> dict[str, str]:
         "domain_mix": R.ORACLE_DOMAIN_MIX,
         "minhash_est_pairs": R.ORACLE_MINHASH_EST,
         "set_ops": R.ORACLE_SET_OPS,
+        "order_priority": R.ORACLE_ORDER_PRIORITY,
     }
 
 
@@ -593,7 +599,7 @@ FROM p ORDER BY doc_id, rep
 """,
         "pricing_summary": R.ORACLE_PRICING,
         "top_revenue_nations": R.ORACLE_TOP_REVENUE,
-        "order_priority": R.ORACLE_ORDER_PRIORITY,
+        "bpe_merges": R.ORACLE_BPE_MERGES,
         "window_user_events": R.ORACLE_WINDOW,
         "sessionize": R.ORACLE_SESSIONIZE,
         "string_datetime": R.ORACLE_STRING_DATETIME,

@@ -3167,3 +3167,107 @@ ORDER BY f.doc_id
 
 
 ORACLE_QUALITY_CLASSIFIER = _quality_classifier_oracle_sql(5, 2.0)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: the distributed word-counter stage + the merge
+# loop over the bounded word table -- the sentencepiece / HF-tokenizers
+# trainer architecture (corpus scan -> word counter -> in-memory merges)
+
+def q_bpe_merges(spark, sf_dir, n_merges: int = 8, top_words: int = 200):
+    """Learn the first n_merges BPE merges from the corpus: (step, left,
+    right, merged, pair_count).
+
+    Architecture (and scale shape): the ONLY corpus-sized work is the
+    word-count aggregation -- explode words, partial-agg count, shuffle
+    carries (word, count) for DISTINCT words only -- followed by a
+    deterministic top-K cut (count DESC, word ASC).  The merge loop then
+    runs driver-side over that bounded word table (top_words rows; the
+    HF/sentencepiece trainers do exactly this: BPE's statistics are a
+    function of the word counter, not of the corpus), so each merge step
+    is O(K * avg_word_len) driver work with zero further Spark jobs.
+    At 100 TB you raise top_words to ~10^6 and nothing else changes.
+
+    Semantics: symbols start as characters + a terminal '</w>'; the best
+    pair maximizes summed within-word occurrence count (overlapping
+    occurrences counted, weighted by word count), ties broken (left,
+    right) ascending; merge application is a single-pass non-overlapping
+    padded-string replace -- identical in Python and in the oracle's
+    REPLACE, and deviating from canonical BPE only on runs of a symbol
+    merged with itself (e.g. 'aaa' merges once, not twice; documented
+    deviation, pinned by the cross-engine gate)."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = (docs.select(F.explode(
+            F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy("word").count()
+          .orderBy(F.col("count").desc(), F.col("word"))
+          .limit(top_words)
+          .collect())
+    words = [(" " + " ".join(list(r["word"]) + ["</w>"]) + " ", r["count"])
+             for r in wc]
+    out = []
+    for step in range(1, n_merges + 1):
+        counts: dict = {}
+        for sym, n in words:
+            ss = sym.split()
+            for l, r in zip(ss, ss[1:]):
+                counts[(l, r)] = counts.get((l, r), 0) + n
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((step, l, r, l + r, c))
+        words = [(sym.replace(f" {l} {r} ", f" {l}{r} "), n)
+                 for sym, n in words]
+    return spark.createDataFrame(
+        out, "step int, left string, right string, merged string, "
+             "pair_count bigint")
+
+
+def _bpe_oracle_sql(n_merges: int = 8, top_words: int = 200) -> str:
+    """Unrolled replay: word counter + top-K, then per merge step a
+    pair-count layer (index-UNNEST zip over the symbol array, weighted,
+    overlap-counting) and a one-row winner CROSS JOINed into the next
+    symbol rewrite -- same pattern as the GD / pagerank oracles."""
+    base = f"""
+wc AS (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS word
+    FROM documents) WHERE word != ''
+  GROUP BY word ORDER BY cnt DESC, word LIMIT {top_words}
+),
+s0 AS (
+  SELECT ' ' || array_to_string(
+           list_append([word[i] FOR i IN range(1, LEN(word) + 1)],
+                       '</w>'), ' ') || ' ' AS sym,
+         cnt
+  FROM wc
+)"""
+    layers = []
+    for i in range(n_merges):
+        layers.append(f"""
+p{i} AS (
+  SELECT ss[i] AS l, ss[i + 1] AS r, SUM(cnt) AS c
+  FROM (SELECT regexp_split_to_array(TRIM(sym), ' ') AS ss, cnt
+        FROM s{i}), UNNEST(range(1, LEN(ss))) t(i)
+  GROUP BY 1, 2
+),
+m{i} AS (
+  SELECT {i + 1} AS step, l, r, l || r AS merged, c AS pair_count
+  FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+),
+s{i + 1} AS (
+  SELECT REPLACE(sym, ' ' || m.l || ' ' || m.r || ' ',
+                 ' ' || m.l || m.r || ' ') AS sym, cnt
+  FROM s{i} CROSS JOIN m{i} m
+)""")
+    un = "\nUNION ALL ".join(
+        f"SELECT step, l AS left, r AS right, merged, pair_count FROM m{i}"
+        for i in range(n_merges))
+    return f"""
+WITH {base},{",".join(layers)}
+SELECT CAST(step AS INT) AS step, "left", "right", merged,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM ({un}) ORDER BY step
+"""
+
+
+ORACLE_BPE_MERGES = _bpe_oracle_sql(8, 200)
