@@ -3218,8 +3218,8 @@ def q_bpe_merges(spark, sf_dir, n_merges: int = 8, top_words: int = 200):
         words = [(sym.replace(f" {l} {r} ", f" {l}{r} "), n)
                  for sym, n in words]
     return spark.createDataFrame(
-        out, "step int, left string, right string, merged string, "
-             "pair_count bigint")
+        out, "step int, pair_left string, pair_right string, "
+             "merged string, pair_count bigint")
 
 
 def _bpe_oracle_sql(n_merges: int = 8, top_words: int = 200) -> str:
@@ -3260,11 +3260,11 @@ s{i + 1} AS (
   FROM s{i} CROSS JOIN m{i} m
 )""")
     un = "\nUNION ALL ".join(
-        f"SELECT step, l AS left, r AS right, merged, pair_count FROM m{i}"
+        f"SELECT step, l AS pair_left, r AS pair_right, merged, pair_count FROM m{i}"
         for i in range(n_merges))
     return f"""
 WITH {base},{",".join(layers)}
-SELECT CAST(step AS INT) AS step, "left", "right", merged,
+SELECT CAST(step AS INT) AS step, pair_left, pair_right, merged,
        CAST(pair_count AS BIGINT) AS pair_count
 FROM ({un}) ORDER BY step
 """

@@ -16,7 +16,7 @@ def test_known_corpus_merges(spark, tmp_path):
     """'low' x3 + 'lower' x1: highest pair is (l,o) count 4, then
     (lo,w) count 4 after the merge, then w</w> from the three 'low's."""
     got = _merges(spark, tmp_path, ["low low low lower"], 3)
-    assert [(r.step, r.left, r.right, r.merged, r.pair_count)
+    assert [(r.step, r.pair_left, r.pair_right, r.merged, r.pair_count)
             for r in got] == [
         (1, "l", "o", "lo", 4),
         (2, "lo", "w", "low", 4),
@@ -28,7 +28,7 @@ def test_tie_break_lexicographic(spark, tmp_path):
     """'ab cd' once: all pairs have count 1; (a,b) wins the (left,right)
     ascending tie-break over (b,</w>), (c,d), (d,</w>)."""
     [r] = _merges(spark, tmp_path, ["ab cd"], 1)
-    assert (r.left, r.right) == ("a", "b")
+    assert (r.pair_left, r.pair_right) == ("a", "b")
 
 
 def test_self_pair_run_deviation(spark, tmp_path):
@@ -38,7 +38,7 @@ def test_self_pair_run_deviation(spark, tmp_path):
     standard overlapping count (3 in 'aaaa').  Cross-engine identity of
     this exact behavior is what the oracle gate pins."""
     got = _merges(spark, tmp_path, ["aaaa"], 2)
-    assert (got[0].left, got[0].right, got[0].pair_count) == ("a", "a", 3)
+    assert (got[0].pair_left, got[0].pair_right, got[0].pair_count) == ("a", "a", 3)
     # step 2 sees symbols [aa, a, a, </w>]: pairs (aa,a), (a,a), (a,</w>)
     # all count 1 -> tie-break picks (a,</w>) ('<' sorts before 'a')
-    assert (got[1].left, got[1].right) == ("a", "</w>")
+    assert (got[1].pair_left, got[1].pair_right) == ("a", "</w>")
