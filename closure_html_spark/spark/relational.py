@@ -3196,16 +3196,28 @@ def q_bpe_merges(spark, sf_dir, n_merges: int = 8, top_words: int = 200):
     REPLACE, and deviating from canonical BPE only on runs of a symbol
     merged with itself (e.g. 'aaa' merges once, not twice; documented
     deviation, pinned by the cross-engine gate)."""
+    out = _bpe_learn(_bpe_word_counts(spark, sf_dir, top_words), n_merges)
+    return spark.createDataFrame(
+        out, "step int, pair_left string, pair_right string, "
+             "merged string, pair_count bigint")
+
+
+def _bpe_word_counts(spark, sf_dir, top_words: int):
     docs = _t(spark, sf_dir, "documents")
-    wc = (docs.select(F.explode(
+    return (docs.select(F.explode(
             F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
-          .filter(F.col("word") != "")
-          .groupBy("word").count()
-          .orderBy(F.col("count").desc(), F.col("word"))
-          .limit(top_words)
-          .collect())
+            .filter(F.col("word") != "")
+            .groupBy("word").count()
+            .orderBy(F.col("count").desc(), F.col("word"))
+            .limit(top_words)
+            .collect())
+
+
+def _bpe_learn(wc_rows, n_merges: int):
+    """The driver-side merge loop over the bounded word table; returns
+    [(step, left, right, merged, pair_count), ...]."""
     words = [(" " + " ".join(list(r["word"]) + ["</w>"]) + " ", r["count"])
-             for r in wc]
+             for r in wc_rows]
     out = []
     for step in range(1, n_merges + 1):
         counts: dict = {}
@@ -3217,9 +3229,7 @@ def q_bpe_merges(spark, sf_dir, n_merges: int = 8, top_words: int = 200):
         out.append((step, l, r, l + r, c))
         words = [(sym.replace(f" {l} {r} ", f" {l}{r} "), n)
                  for sym, n in words]
-    return spark.createDataFrame(
-        out, "step int, pair_left string, pair_right string, "
-             "merged string, pair_count bigint")
+    return out
 
 
 def _bpe_oracle_sql(n_merges: int = 8, top_words: int = 200) -> str:
@@ -3271,3 +3281,179 @@ FROM ({un}) ORDER BY step
 
 
 ORACLE_BPE_MERGES = _bpe_oracle_sql(8, 200)
+
+
+def q_bpe_tokenize(spark, sf_dir, n_merges: int = 8, top_words: int = 200):
+    """Apply the learned BPE merges to the corpus: per document, the
+    whitespace word count and the BPE token count after n_merges merges
+    -- the bridge from q_bpe_merges to q_pack_sequences' token budgets.
+
+    Scale shape: training reuses the bounded word-counter collect
+    (q_bpe_merges); APPLICATION is pure whole-stage codegen -- each
+    word becomes its padded symbol string (one regexp_replace) and the
+    merge table is compiled into a chain of n_merges literal REPLACEs,
+    so tokenization runs JVM-side inside the scan partition with no
+    Python, no HOF lambdas, no join (the merge table rides in the plan
+    as literals, the degenerate broadcast).  The only exchange is the
+    per-doc partial-sum aggregation."""
+    merges = _bpe_learn(_bpe_word_counts(spark, sf_dir, top_words),
+                        n_merges)
+    docs = _t(spark, sf_dir, "documents")
+    exploded = (docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        .filter(F.col("word") != ""))
+    sym = F.concat(F.lit(" "),
+                   F.regexp_replace(F.col("word"), "(.)", "$1 "),
+                   F.lit("</w> "))
+    for _step, l, r, _m, _c in merges:
+        sym = F.replace(sym, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+    n_tok = F.size(F.split(F.trim(sym), " "))
+    return (exploded.select("doc_id", n_tok.alias("t"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_words"),
+                 F.sum("t").cast("int").alias("n_bpe_tokens"))
+            .orderBy("doc_id"))
+
+
+def _bpe_tokenize_oracle_sql(n_merges: int = 8, top_words: int = 200) -> str:
+    """Replay: the full merge-derivation CTE chain from _bpe_oracle_sql,
+    then per-word symbol strings rewritten through the n_merges winner
+    rows (nested REPLACE, all one-row CTEs CROSS JOINed)."""
+    base = _bpe_oracle_sql(n_merges, top_words)
+    # reuse everything up to the final SELECT of the merges oracle
+    ctes = base.split("\nSELECT CAST(step AS INT)")[0]
+    expr = "s"
+    for i in range(n_merges):
+        expr = (f"REPLACE({expr}, ' ' || m{i}.l || ' ' || m{i}.r || ' ', "
+                f"' ' || m{i}.l || m{i}.r || ' ')")
+    crosses = " ".join(f"CROSS JOIN m{i} m{i}" for i in range(n_merges))
+    return f"""{ctes},
+dw AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS word
+  FROM documents
+),
+dsym AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS s
+  FROM dw WHERE word != ''
+),
+dtok AS (
+  SELECT doc_id,
+         LEN(regexp_split_to_array(TRIM({expr}), ' ')) AS t
+  FROM dsym {crosses}
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_words,
+       CAST(SUM(t) AS INT) AS n_bpe_tokens
+FROM dtok GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ORACLE_BPE_TOKENIZE = _bpe_tokenize_oracle_sql(8, 200)
+
+
+def q_lm_perplexity(spark, sf_dir, top_vocab: int = 500, k: float = 0.5):
+    """CCNet-style language-model quality signal: train an add-k-smoothed
+    bigram LM on the corpus (top_vocab words + <unk>, chr(1) start
+    symbol) and score every document's per-token negative log2
+    likelihood and perplexity.  Low-ppl docs read like the corpus;
+    high-ppl docs are boilerplate/gibberish -- the standard
+    perplexity-bucket filter for pretraining data.
+
+    Scale shape: bigram pairs come from zipping the split-word array
+    against its shifted self (map-side, NO lead/lag window exchange --
+    the shuffle-free shingle idiom); vocab mapping is two BROADCAST
+    joins against the bounded top_vocab table; the trained model
+    (bigram/unigram count tables, <= (V+2)^2 rows by construction) is
+    BROADCAST back for scoring, so the only wide exchanges are the
+    count partial-aggs on hash-sized keys and the final per-doc agg --
+    document text never shuffles.  Docs with zero words drop out
+    (no pairs to score).  Floats: rounded for display; the pytest gate
+    compares the unrounded values with tolerance (cross-engine
+    log2/pow ULP differences), exact on n_bigrams."""
+    docs = _t(spark, sf_dir, "documents")
+    start = "\x01"
+    w = F.when(F.length(F.trim("text")) > 0,
+               F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+               ).otherwise(F.array().cast("array<string>"))
+    pairs = (docs.select("doc_id", w.alias("w"))
+             .select("doc_id", F.explode(
+                 F.when(F.size("w") > 0, F.arrays_zip(
+                     F.concat(F.array(F.lit(start)),
+                              F.slice("w", 1, F.size("w") - 1)).alias("p"),
+                     F.col("w").alias("c")))
+                 .otherwise(F.array().cast(
+                     "array<struct<p:string,c:string>>"))).alias("pc"))
+             .select("doc_id", F.col("pc.p").alias("p"),
+                     F.col("pc.c").alias("c")))
+    vocab = (pairs.groupBy(F.col("c").alias("word"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.col("n").desc(), "word").limit(top_vocab)
+             .select("word"))
+    m = (pairs
+         .join(F.broadcast(vocab.withColumnRenamed("word", "vp")),
+               F.col("p") == F.col("vp"), "left")
+         .join(F.broadcast(vocab.withColumnRenamed("word", "vc")),
+               F.col("c") == F.col("vc"), "left")
+         .select("doc_id",
+                 F.when(F.col("p") == start, F.lit(start))
+                  .otherwise(F.coalesce("vp", F.lit("<unk>"))).alias("pm"),
+                 F.coalesce("vc", F.lit("<unk>")).alias("cm")))
+    big = m.groupBy("pm", "cm").agg(F.count(F.lit(1)).alias("cb"))
+    uni = m.groupBy("pm").agg(F.count(F.lit(1)).alias("cu"))
+    vs = vocab.agg((F.count(F.lit(1)) + 1).alias("v"))
+    nll = -F.log2((F.col("cb") + k) / (F.col("cu") + k * F.col("v")))
+    return (m.join(F.broadcast(big), ["pm", "cm"])
+            .join(F.broadcast(uni), ["pm"])
+            .crossJoin(F.broadcast(vs))
+            .select("doc_id", nll.alias("nll"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+                 F.avg("nll").alias("avg_nll"),
+                 F.pow(F.lit(2.0), F.avg("nll")).alias("ppl"))
+            .orderBy("doc_id"))
+
+
+def _lm_perplexity_oracle_sql(top_vocab: int = 500, k: float = 0.5) -> str:
+    """DuckDB replay: same pair construction via a list comprehension
+    over the split array, same vocab cut, same smoothed score."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'),
+                     x -> x != '') AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN chr(1) ELSE ws[i - 1] END AS p,
+         ws[i] AS c
+  FROM d, UNNEST(range(1, LEN(ws) + 1)) AS t(i)
+  WHERE LEN(ws) >= 1
+),
+vocab AS (
+  SELECT c AS word FROM pairs
+  GROUP BY c ORDER BY COUNT(*) DESC, c LIMIT {top_vocab}
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN p = chr(1) THEN chr(1)
+              WHEN p IN (SELECT word FROM vocab) THEN p
+              ELSE '<unk>' END AS pm,
+         CASE WHEN c IN (SELECT word FROM vocab) THEN c
+              ELSE '<unk>' END AS cm
+  FROM pairs
+),
+big AS (SELECT pm, cm, COUNT(*) AS cb FROM m GROUP BY pm, cm),
+uni AS (SELECT pm, COUNT(*) AS cu FROM m GROUP BY pm),
+vs AS (SELECT COUNT(*) + 1 AS v FROM vocab)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+       AVG(-log2((cb + {k}) / (cu + {k} * v))) AS avg_nll,
+       POW(2.0, AVG(-log2((cb + {k}) / (cu + {k} * v)))) AS ppl
+FROM m JOIN big USING (pm, cm) JOIN uni USING (pm) CROSS JOIN vs
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ORACLE_LM_PERPLEXITY = _lm_perplexity_oracle_sql(500, 0.5)

@@ -31,6 +31,38 @@ def test_tie_break_lexicographic(spark, tmp_path):
     assert (r.pair_left, r.pair_right) == ("a", "b")
 
 
+def test_tokenize_applies_merges(spark, tmp_path):
+    """'low low low lower' with 3 merges (lo, low, low</w>): 'low'
+    tokenizes to [low</w>] (1 token), 'lower' to [low, e, r, </w>]
+    (4 tokens) -> 4 words, 7 BPE tokens.  Also pins that the merge
+    table rides as literal REPLACEs (no Python eval in the plan)."""
+    import pandas as pd
+    p = str(tmp_path / "documents.parquet")
+    pd.DataFrame({"doc_id": [0], "text": ["low low low lower"]}).to_parquet(p)
+    df = R.q_bpe_tokenize(spark, str(tmp_path), n_merges=3, top_words=50)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    [r] = df.collect()
+    assert (r.doc_id, r.n_words, r.n_bpe_tokens) == (0, 4, 7)
+
+
+def test_tokenize_oracle_sf0001(spark):
+    """Cross-engine gate for the registry-external operator: Spark vs
+    the DuckDB replay (full merge-derivation CTE chain + nested
+    REPLACE application) at sf0.001."""
+    import duckdb
+    sf = "/root/testdata/sf0.001"
+    got = R.q_bpe_tokenize(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(R.ORACLE_BPE_TOKENIZE).df()
+    assert len(got) == len(want) == 500
+    m = got.merge(want, on="doc_id", suffixes=("_s", "_o"))
+    assert (m.n_words_s == m.n_words_o).all()
+    assert (m.n_bpe_tokens_s == m.n_bpe_tokens_o).all()
+
+
 def test_self_pair_run_deviation(spark, tmp_path):
     """Pinned deviation from canonical BPE: in 'aaaa' the single-pass
     padded replace merges (a,a) ONCE per non-overlapping scan, leaving
