@@ -317,6 +317,10 @@ def main():
         ("incremental_dedup", R.q_incremental_dedup),
         # in-engine GD training (1 + iters one-row partial-agg passes)
         ("quality_classifier", R.q_quality_classifier),
+        # tokenizer train+apply (bounded collect + literal-REPLACE chain)
+        # and the bigram-LM scorer (broadcast model joins)
+        ("bpe_tokenize", R.q_bpe_tokenize),
+        ("lm_perplexity", R.q_lm_perplexity),
     ]
     # TWO full passes over the list, min per query: a throttle dip during
     # one pass cannot poison the recorded wall for the queries it clipped
