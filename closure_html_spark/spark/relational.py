@@ -3457,3 +3457,174 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 ORACLE_LM_PERPLEXITY = _lm_perplexity_oracle_sql(500, 0.5)
+
+
+def _pos_ngrams(docs, n: int):
+    """Positional variant of _ngrams: (doc_id, pos, gram) with pos the
+    0-based word offset of the window start.  Same shuffle-free
+    zip-against-shifted-slices construction (see _ngrams)."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    cols = [words.alias("w0")] + [
+        F.slice(words, i + 1, F.size(words)).alias(f"w{i}")
+        for i in range(1, n)]
+    exploded = docs.select(
+        "doc_id", F.posexplode(F.arrays_zip(*cols)).alias("pos", "z"))
+    gram = F.concat_ws(" ", *[F.col(f"z.w{i}") for i in range(n)])
+    return (exploded.filter(F.col(f"z.w{n-1}").isNotNull())
+            .select("doc_id", "pos", gram.alias("gram")))
+
+
+def q_repeated_spans(spark, sf_dir, w: int = 8, min_docs: int = 2):
+    """Exact-substring dedup primitive (the suffix-array-dedup signal of
+    Lee et al. 2022, 'Deduplicating Training Data Makes Language Models
+    Better', arXiv:2107.06499, re-expressed relationally): every
+    w-word window that occurs in >= min_docs DISTINCT documents, as
+    (doc_id, pos, n_docs) rows -- the span inventory a
+    remove-duplicate-substrings pass consumes.
+
+    Scale shape: windows come from the shuffle-free positional n-gram
+    projection (_pos_ngrams); each window is keyed by the PORTABLE
+    64-bit hash pair (h_hi, h_lo) of its text, so the count exchange
+    and the match join carry (hash, doc_id, pos) only -- window TEXT
+    never shuffles (at w=50 a text-keyed groupBy would shuffle ~50x
+    the corpus).  The duplicated-gram table is corpus-sized in the
+    worst case, so the match join is a plain hash join on the key pair,
+    not a broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    g = _pos_ngrams(docs, w)
+    md5 = F.md5(F.col("gram"))
+    wk = g.select(
+        "doc_id", "pos",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h_lo"))
+    dup = (wk.groupBy("h_hi", "h_lo")
+           .agg(F.countDistinct("doc_id").alias("n_docs"))
+           .filter(F.col("n_docs") >= min_docs))
+    return (wk.join(dup, ["h_hi", "h_lo"])
+            .select("doc_id", "pos", F.col("n_docs").cast("int").alias("n_docs"))
+            .orderBy("doc_id", "pos"))
+
+
+def q_dup_coverage(spark, sf_dir, w: int = 8, min_docs: int = 2):
+    """Per-document duplicate coverage: how many of a doc's tokens sit
+    inside at least one cross-document repeated w-word window
+    (q_repeated_spans), as (doc_id, n_tokens, dup_tokens, dup_frac) --
+    the doc-level filter signal ('drop docs that are >X% duplicated
+    text').
+
+    Scale shape: the gaps-and-islands union-length pass windows over
+    (doc_id, pos) pairs of DUPLICATED spans only -- a tiny fraction of
+    the corpus, partitioned per doc (no global sort); token counts are
+    map-side; docs with no duplicated window join back with coverage 0
+    via a broadcast-right... no: the spans side is the small side, so
+    the stats frame LEFT-joins spans stats onto the map-only token
+    counts -- text never enters any exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = q_repeated_spans(spark, sf_dir, w=w, min_docs=min_docs)
+    end = F.col("pos") + w
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max(end).over(
+        win.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max.isNull() | (F.col("pos") >= prev_max), 1).otherwise(0)
+    islands = spans.select(
+        "doc_id", "pos", end.alias("end"),
+        F.sum(new_island).over(
+            win.rowsBetween(Window.unboundedPreceding, 0)).alias("isl"))
+    cov = (islands.groupBy("doc_id", "isl")
+           .agg((F.max("end") - F.min("pos")).alias("covered"))
+           .groupBy("doc_id")
+           .agg(F.sum("covered").cast("int").alias("dup_tokens")))
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.when(F.length(F.trim("text")) == 0, F.lit(0)) \
+             .otherwise(F.size(words)).cast("int")
+    toks = docs.select("doc_id", n_tok.alias("n_tokens"))
+    return (toks.join(cov, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+                    F.round(F.coalesce("dup_tokens", F.lit(0)) /
+                            F.greatest("n_tokens", F.lit(1)), 6)
+                     .alias("dup_frac"))
+            .orderBy("doc_id"))
+
+
+def _repeated_spans_gram_cte(w: int) -> str:
+    return f"""
+d AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(ws[i : i + {w} - 1], ' ') AS gram
+  FROM d, UNNEST(range(1, LEN(ws) - {w} + 2)) AS t(i)
+  WHERE LEN(ws) >= {w}
+),
+wk AS (
+  SELECT doc_id, pos,
+         CAST(from_hex(substring(md5(gram), 1, 8))::BIT AS BIGINT) AS h_hi,
+         CAST(from_hex(substring(md5(gram), 9, 8))::BIT AS BIGINT) AS h_lo
+  FROM g
+)"""
+
+
+def _repeated_spans_oracle_sql(w: int = 8, min_docs: int = 2) -> str:
+    return f"""
+WITH {_repeated_spans_gram_cte(w)},
+dup AS (
+  SELECT h_hi, h_lo, COUNT(DISTINCT doc_id) AS n_docs
+  FROM wk GROUP BY h_hi, h_lo HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+)
+SELECT doc_id, pos, CAST(n_docs AS INT) AS n_docs
+FROM wk JOIN dup USING (h_hi, h_lo)
+ORDER BY doc_id, pos
+"""
+
+
+def _dup_coverage_oracle_sql(w: int = 8, min_docs: int = 2) -> str:
+    return f"""
+WITH {_repeated_spans_gram_cte(w)},
+dup AS (
+  SELECT h_hi, h_lo, COUNT(DISTINCT doc_id) AS n_docs
+  FROM wk GROUP BY h_hi, h_lo HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+),
+spans AS (
+  SELECT doc_id, pos, pos + {w} AS e
+  FROM wk JOIN dup USING (h_hi, h_lo)
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         SUM(CASE WHEN prev_max IS NULL OR pos >= prev_max
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS isl
+  FROM (SELECT doc_id, pos, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+        FROM spans)
+),
+cov AS (
+  SELECT doc_id, CAST(SUM(covered) AS INT) AS dup_tokens
+  FROM (SELECT doc_id, isl, MAX(e) - MIN(pos) AS covered
+        FROM isl GROUP BY doc_id, isl)
+  GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+'))
+         END AS n_tokens
+  FROM documents
+)
+SELECT t.doc_id, CAST(t.n_tokens AS INT) AS n_tokens,
+       COALESCE(c.dup_tokens, 0) AS dup_tokens,
+       ROUND(COALESCE(c.dup_tokens, 0) /
+             GREATEST(t.n_tokens, 1), 6) AS dup_frac
+FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
+ORDER BY t.doc_id
+"""
+
+
+ORACLE_REPEATED_SPANS = _repeated_spans_oracle_sql(8, 2)
+ORACLE_DUP_COVERAGE = _dup_coverage_oracle_sql(8, 2)

@@ -1,0 +1,63 @@
+"""Exact-substring dedup primitive (Lee et al. 2022 style): repeated
+w-word windows across docs + per-doc duplicate coverage."""
+
+import duckdb
+import pandas as pd
+
+from closure_html_spark.spark import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_known_spans_and_coverage(spark, tmp_path):
+    """Docs 0 and 1 share the 4-word window 'a b c d' (doc 1 shifted by
+    one leading word); doc 2 is disjoint.  Coverage must union the
+    overlapping windows of a run, not double-count."""
+    texts = ["a b c d e f", "x a b c d e", "p q r s t u"]
+    p = str(tmp_path / "documents.parquet")
+    pd.DataFrame({"doc_id": range(3), "text": texts}).to_parquet(p)
+    spans = R.q_repeated_spans(spark, str(tmp_path), w=4).collect()
+    # shared 4-grams: 'a b c d' (doc0 pos0 / doc1 pos1) and 'b c d e'
+    # (doc0 pos1 / doc1 pos2)
+    assert [(r.doc_id, r.pos, r.n_docs) for r in spans] == [
+        (0, 0, 2), (0, 1, 2), (1, 1, 2), (1, 2, 2)]
+    cov = {r.doc_id: (r.n_tokens, r.dup_tokens)
+           for r in R.q_dup_coverage(spark, str(tmp_path), w=4).collect()}
+    # doc0: windows [0,4)+[1,5) union = [0,5) = 5 tokens of 6
+    # doc1: windows [1,5)+[2,6) union = [1,6) = 5 tokens of 6
+    assert cov == {0: (6, 5), 1: (6, 5), 2: (6, 0)}
+
+
+def test_within_doc_repeat_not_flagged(spark, tmp_path):
+    """A window repeated INSIDE one doc only (min_docs=2 distinct docs)
+    must not be reported."""
+    p = str(tmp_path / "documents.parquet")
+    pd.DataFrame({"doc_id": [0, 1],
+                  "text": ["a b c a b c", "z z z z"]}).to_parquet(p)
+    assert R.q_repeated_spans(spark, str(tmp_path), w=3).count() == 0
+
+
+def test_plan_hash_keyed_no_python(spark):
+    """Every hash exchange is keyed on the portable hash pair -- the
+    window text is projected away before any shuffle -- and the whole
+    query is JVM-side."""
+    df = R.q_repeated_spans(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    hash_ex = [l for l in plan.splitlines()
+               if "Exchange hashpartitioning" in l]
+    assert hash_ex and all("h_hi" in l for l in hash_ex)
+
+
+def test_oracle_sf0001(spark):
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    for fn, osql in [(R.q_repeated_spans, R.ORACLE_REPEATED_SPANS),
+                     (R.q_dup_coverage, R.ORACLE_DUP_COVERAGE)]:
+        got = fn(spark, SF).toPandas().reset_index(drop=True)
+        want = con.execute(osql).df().reset_index(drop=True)
+        assert len(got) == len(want) > 0
+        assert got.astype(str).equals(want.astype(str))
+    # non-vacuity: testdata must actually contain cross-doc repeats
+    assert R.q_repeated_spans(spark, SF).count() > 0
