@@ -3505,6 +3505,25 @@ def q_repeated_spans(spark, sf_dir, w: int = 8, min_docs: int = 2):
             .orderBy("doc_id", "pos"))
 
 
+def _merged_islands(spans, w: int):
+    """Gaps-and-islands merge of [pos, pos+w) windows into disjoint
+    intervals: (doc_id, s, e).  Windows over the spans-only ids frame,
+    partitioned per doc -- no global sort, no text."""
+    end = F.col("pos") + w
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max(end).over(
+        win.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max.isNull() | (F.col("pos") >= prev_max), 1).otherwise(0)
+    islands = spans.select(
+        "doc_id", "pos", end.alias("end"),
+        F.sum(new_island).over(
+            win.rowsBetween(Window.unboundedPreceding, 0)).alias("isl"))
+    return (islands.groupBy("doc_id", "isl")
+            .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+            .select("doc_id", "s", "e"))
+
+
 def q_dup_coverage(spark, sf_dir, w: int = 8, min_docs: int = 2):
     """Per-document duplicate coverage: how many of a doc's tokens sit
     inside at least one cross-document repeated w-word window
@@ -3521,20 +3540,10 @@ def q_dup_coverage(spark, sf_dir, w: int = 8, min_docs: int = 2):
     counts -- text never enters any exchange."""
     docs = _t(spark, sf_dir, "documents")
     spans = q_repeated_spans(spark, sf_dir, w=w, min_docs=min_docs)
-    end = F.col("pos") + w
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    prev_max = F.max(end).over(
-        win.rowsBetween(Window.unboundedPreceding, -1))
-    new_island = F.when(
-        prev_max.isNull() | (F.col("pos") >= prev_max), 1).otherwise(0)
-    islands = spans.select(
-        "doc_id", "pos", end.alias("end"),
-        F.sum(new_island).over(
-            win.rowsBetween(Window.unboundedPreceding, 0)).alias("isl"))
-    cov = (islands.groupBy("doc_id", "isl")
-           .agg((F.max("end") - F.min("pos")).alias("covered"))
+    cov = (_merged_islands(spans, w)
            .groupBy("doc_id")
-           .agg(F.sum("covered").cast("int").alias("dup_tokens")))
+           .agg(F.sum(F.col("e") - F.col("s")).cast("int")
+                .alias("dup_tokens")))
     words = F.split(F.trim(F.col("text")), r"\s+")
     n_tok = F.when(F.length(F.trim("text")) == 0, F.lit(0)) \
              .otherwise(F.size(words)).cast("int")
@@ -3628,3 +3637,111 @@ ORDER BY t.doc_id
 
 ORACLE_REPEATED_SPANS = _repeated_spans_oracle_sql(8, 2)
 ORACLE_DUP_COVERAGE = _dup_coverage_oracle_sql(8, 2)
+
+
+def q_repeated_span_clean(spark, sf_dir, w: int = 8, min_docs: int = 2):
+    """Exact-substring REMOVAL (the transform of Lee et al. 2022's
+    dedup: arXiv:2107.06499 §3 removes all but one occurrence of every
+    duplicated >=50-token substring): re-emit each document with the
+    tokens of every cross-doc duplicated w-window removed, keeping the
+    corpus-wide FIRST occurrence (lexicographic min (doc_id, pos) per
+    window hash, the q_paragraph_dedup_clean ownership rule).
+
+    Scale shape, mirroring q_paragraph_dedup_clean: ownership + interval
+    merge run on the ids+hash-only frame (the q_repeated_spans
+    exchanges, plus one per-doc window over the DUPLICATED spans only);
+    the removal list arrives as a per-doc interval array (ints), and
+    clean_text is rebuilt JVM-side by filtering the word array at
+    uncovered indices -- text moves once, on the docs side of the final
+    doc_id equi-join (broadcastable when few docs have removals;
+    co-locate via doc_id bucketing at full scale).  Rebuilt docs are
+    whitespace-normalized; untouched docs pass through byte-identical.
+    The index-filter lambda is the HOF slow path, but it evaluates only
+    on rows whose interval list is non-null (the duplicated fraction)."""
+    docs = _t(spark, sf_dir, "documents")
+    g = _pos_ngrams(docs, w)
+    md5 = F.md5(F.col("gram"))
+    wk = g.select(
+        "doc_id", "pos",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h_lo"))
+    dup = (wk.groupBy("h_hi", "h_lo")
+           .agg(F.countDistinct("doc_id").alias("n_docs"),
+                F.min(F.struct("doc_id", "pos")).alias("own"))
+           .filter(F.col("n_docs") >= min_docs))
+    losers = (wk.join(dup, ["h_hi", "h_lo"])
+              .filter(~((F.col("doc_id") == F.col("own.doc_id"))
+                        & (F.col("pos") == F.col("own.pos"))))
+              .select("doc_id", "pos"))
+    intervals = (_merged_islands(losers, w)
+                 .groupBy("doc_id")
+                 .agg(F.flatten(F.collect_list(
+                      F.sequence(F.col("s"), F.col("e") - 1))).alias("ridx"),
+                      F.sum(F.col("e") - F.col("s")).cast("int")
+                      .alias("n_removed")))
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    kept = F.array_join(F.transform(
+        F.filter(F.sequence(F.lit(0), F.size(words) - 1),
+                 lambda i: ~F.array_contains("ridx", i.cast("int"))),
+        lambda i: F.element_at(words, i + 1)), " ")
+    return (docs.join(intervals, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+                    F.when(F.col("ridx").isNull(), F.col("text"))
+                     .otherwise(kept).alias("clean_text"))
+            .orderBy("doc_id"))
+
+
+def _repeated_span_clean_oracle_sql(w: int = 8, min_docs: int = 2) -> str:
+    """DuckDB replay: same ownership rule (row_number over (doc_id,pos)
+    per hash), same island merge, same index-filter rebuild."""
+    return f"""
+WITH {_repeated_spans_gram_cte(w)},
+dup AS (
+  SELECT h_hi, h_lo,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         FIRST(doc_id ORDER BY doc_id, pos) AS own_doc,
+         FIRST(pos ORDER BY doc_id, pos) AS own_pos
+  FROM wk GROUP BY h_hi, h_lo HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+),
+losers AS (
+  SELECT wk.doc_id, wk.pos, wk.pos + {w} AS e
+  FROM wk JOIN dup USING (h_hi, h_lo)
+  WHERE NOT (wk.doc_id = dup.own_doc AND wk.pos = dup.own_pos)
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         SUM(CASE WHEN prev_max IS NULL OR pos >= prev_max
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS isl
+  FROM (SELECT doc_id, pos, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+        FROM losers)
+),
+iv AS (
+  SELECT doc_id,
+         FLATTEN(LIST(range(s, e))) AS ridx,
+         CAST(SUM(e - s) AS INT) AS n_removed
+  FROM (SELECT doc_id, isl, MIN(pos) AS s, MAX(e) AS e
+        FROM isl GROUP BY doc_id, isl)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(iv.n_removed, 0) AS n_removed,
+       CASE WHEN iv.ridx IS NULL THEN d.text
+            ELSE COALESCE(array_to_string(list_transform(
+              list_filter(range(0, LEN(regexp_split_to_array(
+                            TRIM(d.text), '\\s+'))),
+                          i -> NOT list_contains(iv.ridx, i)),
+              i -> regexp_split_to_array(TRIM(d.text), '\\s+')[i + 1]), ' '),
+              '')
+       END AS clean_text
+FROM documents d LEFT JOIN iv ON d.doc_id = iv.doc_id
+ORDER BY d.doc_id
+"""
+
+
+ORACLE_REPEATED_SPAN_CLEAN = _repeated_span_clean_oracle_sql(8, 2)

@@ -37,6 +37,22 @@ def test_within_doc_repeat_not_flagged(spark, tmp_path):
     assert R.q_repeated_spans(spark, str(tmp_path), w=3).count() == 0
 
 
+def test_span_clean_ownership(spark, tmp_path):
+    """Doc 0 owns the shared window (first occurrence) and keeps its
+    text byte-identical; doc 1 loses the covered run; a fully-duplicated
+    doc rewrites to the empty string."""
+    texts = ["a b c d e f",      # owner of 'a b c d' and 'b c d e'
+             "x a b c d e",      # loses [1,6) -> keeps 'x'
+             "a b c d"]          # fully covered -> ''
+    p = str(tmp_path / "documents.parquet")
+    pd.DataFrame({"doc_id": range(3), "text": texts}).to_parquet(p)
+    rows = {r.doc_id: r for r in
+            R.q_repeated_span_clean(spark, str(tmp_path), w=4).collect()}
+    assert (rows[0].n_removed, rows[0].clean_text) == (0, "a b c d e f")
+    assert (rows[1].n_removed, rows[1].clean_text) == (5, "x")
+    assert (rows[2].n_removed, rows[2].clean_text) == (4, "")
+
+
 def test_plan_hash_keyed_no_python(spark):
     """Every hash exchange is keyed on the portable hash pair -- the
     window text is projected away before any shuffle -- and the whole
@@ -54,7 +70,8 @@ def test_oracle_sf0001(spark):
     con.execute("CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
     for fn, osql in [(R.q_repeated_spans, R.ORACLE_REPEATED_SPANS),
-                     (R.q_dup_coverage, R.ORACLE_DUP_COVERAGE)]:
+                     (R.q_dup_coverage, R.ORACLE_DUP_COVERAGE),
+                     (R.q_repeated_span_clean, R.ORACLE_REPEATED_SPAN_CLEAN)]:
         got = fn(spark, SF).toPandas().reset_index(drop=True)
         want = con.execute(osql).df().reset_index(drop=True)
         assert len(got) == len(want) > 0
