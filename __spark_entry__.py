@@ -373,6 +373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE tokenizer training (distributed word counter + bounded
         # driver merge loop, the sentencepiece architecture)
         "bpe_merges": R.q_bpe_merges,
+        # exact-substring REMOVAL (Lee et al. 2022): duplicated w-word
+        # windows dropped, corpus-wide first occurrence kept; detect/
+        # coverage reports (q_repeated_spans, q_dup_coverage) replay in aux
+        "repeated_span_clean": R.q_repeated_span_clean,
         "simhash": R.q_simhash,
         # EXACT O(N^2) baseline -- gate/recall reference ONLY, never the
         # scale path (use embedding_neardup_lsh at any real corpus size)
@@ -402,8 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": R.q_pricing_summary,
         "top_revenue_nations": R.q_top_revenue_nations,
         # (order_priority demoted to aux round 6; r2+ green, its
-        # join+agg+sort pattern stays gated via top_revenue_nations)
-        "window_user_events": R.q_window_user_events,
+        # join+agg+sort pattern stays gated via top_revenue_nations;
+        # window_user_events likewise demoted late round 6 -- the window
+        # capability stays gated via sessionize)
         "sessionize": R.q_sessionize,
         # (set_ops demoted to aux round 6 to make room; r2+ green)
         "string_datetime": R.q_string_datetime,
@@ -481,6 +486,14 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_est_pairs": R.q_minhash_est_pairs,
         "set_ops": R.q_set_ops,
         "order_priority": R.q_order_priority,
+        # demoted late r6 for repeated_span_clean (window capability
+        # stays driver-gated via sessionize)
+        "window_user_events": R.q_window_user_events,
+        # registry-external r6 ops: standing local replay
+        "bpe_tokenize": R.q_bpe_tokenize,
+        "lm_perplexity": R.q_lm_perplexity,
+        "repeated_spans": R.q_repeated_spans,
+        "dup_coverage": R.q_dup_coverage,
     }
 
 
@@ -497,6 +510,11 @@ def aux_oracle_sql() -> dict[str, str]:
         "minhash_est_pairs": R.ORACLE_MINHASH_EST,
         "set_ops": R.ORACLE_SET_OPS,
         "order_priority": R.ORACLE_ORDER_PRIORITY,
+        "window_user_events": R.ORACLE_WINDOW,
+        "bpe_tokenize": R.ORACLE_BPE_TOKENIZE,
+        "lm_perplexity": R.ORACLE_LM_PERPLEXITY,
+        "repeated_spans": R.ORACLE_REPEATED_SPANS,
+        "dup_coverage": R.ORACLE_DUP_COVERAGE,
     }
 
 
@@ -600,7 +618,7 @@ FROM p ORDER BY doc_id, rep
         "pricing_summary": R.ORACLE_PRICING,
         "top_revenue_nations": R.ORACLE_TOP_REVENUE,
         "bpe_merges": R.ORACLE_BPE_MERGES,
-        "window_user_events": R.ORACLE_WINDOW,
+        "repeated_span_clean": R.ORACLE_REPEATED_SPAN_CLEAN,
         "sessionize": R.ORACLE_SESSIONIZE,
         "string_datetime": R.ORACLE_STRING_DATETIME,
         "quality_classifier": R.ORACLE_QUALITY_CLASSIFIER,

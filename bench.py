@@ -321,6 +321,8 @@ def main():
         # and the bigram-LM scorer (broadcast model joins)
         ("bpe_tokenize", R.q_bpe_tokenize),
         ("lm_perplexity", R.q_lm_perplexity),
+        # exact-substring removal (driver-gated late r6)
+        ("repeated_span_clean", R.q_repeated_span_clean),
     ]
     # TWO full passes over the list, min per query: a throttle dip during
     # one pass cannot poison the recorded wall for the queries it clipped
