@@ -219,3 +219,23 @@ def test_pack_sequences_text_never_shuffles(spark):
     assert blocks, "no hash exchange node found"
     for b in blocks:
         assert "text" not in b, f"document text entered the exchange:\n{b}"
+
+
+def test_registry_wide_plan_discipline(spark):
+    """Sweep EVERY driver-gated queries() entry's executed plan: no
+    row-at-a-time Python UDF (BatchEvalPython) anywhere, and cartesian /
+    nested-loop joins only in the three documented baselines --
+    embedding_neardup (exact O(N^2) reference) and the two exact-ANN
+    queries whose broadcast side is the tiny literal query set.  Any new
+    registry entry that regresses to a Python UDF or an accidental
+    cartesian fails here before the driver ever sees it."""
+    import __spark_entry__ as entry_mod
+    nested_ok = {"embedding_neardup", "ann_cosine_topk", "ann_ivf_topk"}
+    offenders = {}
+    for name, fn in entry_mod.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        marks = [m for m in ("BatchEvalPython", "CartesianProduct",
+                             "BroadcastNestedLoopJoin") if m in plan]
+        if "BatchEvalPython" in marks or (marks and name not in nested_ok):
+            offenders[name] = marks
+    assert not offenders, offenders
