@@ -3,6 +3,7 @@ w-word windows across docs + per-doc duplicate coverage."""
 
 import duckdb
 import pandas as pd
+import pytest
 
 from closure_html_spark.spark import relational as R
 
@@ -63,6 +64,59 @@ def test_plan_hash_keyed_no_python(spark):
     hash_ex = [l for l in plan.splitlines()
                if "Exchange hashpartitioning" in l]
     assert hash_ex and all("h_hi" in l for l in hash_ex)
+
+
+def _brute_force(texts, w):
+    """Pure-Python reference over GRAM STRINGS (not hashes -- also
+    falsifies any md5-pair collision): spans, coverage, clean."""
+    grams = {}          # gram -> [(doc, pos), ...]
+    words = [t.split() for t in texts]
+    for d, ws in enumerate(words):
+        for p in range(len(ws) - w + 1):
+            grams.setdefault(" ".join(ws[p:p + w]), []).append((d, p))
+    spans, removed = [], {d: set() for d in range(len(texts))}
+    for occs in grams.values():
+        docs = {d for d, _ in occs}
+        if len(docs) < 2:
+            continue
+        owner = min(occs)
+        for d, p in occs:
+            spans.append((d, p, len(docs)))
+            if (d, p) != owner:
+                removed[d].update(range(p, p + w))
+    cover = {d: set() for d in range(len(texts))}
+    for d, p, _ in spans:
+        cover[d].update(range(p, p + w))
+    clean = {d: " ".join(x for i, x in enumerate(words[d])
+                         if i not in removed[d]) if removed[d] else texts[d]
+             for d in range(len(texts))}
+    return (sorted(spans), {d: len(c) for d, c in cover.items()},
+            {d: len(r) for d, r in removed.items()}, clean)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_random_corpus_vs_brute_force(spark, tmp_path, seed):
+    """Seeded random corpora over a 6-word vocabulary (dense window
+    collisions) differentially checked against the brute-force
+    reference -- spans, coverage, n_removed, and clean_text."""
+    import random
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14)))
+             for _ in range(30)]
+    p = str(tmp_path / "documents.parquet")
+    pd.DataFrame({"doc_id": range(30), "text": texts}).to_parquet(p)
+    w = 3
+    exp_spans, exp_cov, exp_rm, exp_clean = _brute_force(texts, w)
+    got_spans = sorted((r.doc_id, r.pos, r.n_docs) for r in
+                       R.q_repeated_spans(spark, str(tmp_path), w=w).collect())
+    assert got_spans == exp_spans
+    cov = {r.doc_id: r.dup_tokens for r in
+           R.q_dup_coverage(spark, str(tmp_path), w=w).collect()}
+    assert cov == exp_cov
+    cl = {r.doc_id: (r.n_removed, r.clean_text) for r in
+          R.q_repeated_span_clean(spark, str(tmp_path), w=w).collect()}
+    assert cl == {d: (exp_rm[d], exp_clean[d]) for d in range(30)}
 
 
 def test_oracle_sf0001(spark):
