@@ -262,6 +262,59 @@ SELECT doc_id, lang, main_text FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_corpus_to_sequences(spark, sf_dir, budget: int = 512,
+                           n_shards: int = 8):
+    """The FULL pretraining-data chain in one oracle-checked query: raw
+    HTML -> parse+repair+extract -> quality gate -> exact dedup
+    (_q_corpus_clean_pipeline) -> GPT-style sequence packing
+    (q_pack_sequences semantics over the CLEANED corpus): every
+    surviving doc gets (shard, seq_id, tok_offset) for budget-token
+    context windows.
+
+    Scale shape: the clean chain's invariants carry over unchanged
+    (hashes/ids shuffle, text does not); the packing stage consumes
+    main_text map-side for the token count and sends only (doc_id,
+    shard, n_tokens) into the per-shard cumsum window -- no global
+    sort, text still never crosses a wide exchange."""
+    clean = _q_corpus_clean_pipeline(spark, sf_dir)
+    n_tok = F.size(F.split(F.trim("main_text"), r"\s+")).cast("long")
+    slim = clean.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("long") % n_shards).alias("shard"),
+        n_tok.alias("n_tokens"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return (slim.select(
+        "doc_id", "shard", "n_tokens",
+        (cum - F.col("n_tokens")).alias("tok_offset"),
+        F.floor((cum - F.col("n_tokens")) / budget).alias("seq_id"))
+        .orderBy("doc_id"))
+
+
+ORACLE_CORPUS_TO_SEQUENCES = f"""
+WITH cleaned AS (SELECT * FROM ({ORACLE_CORPUS_CLEAN}) AS c),
+slim AS (
+  SELECT doc_id,
+         CAST(from_hex(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIT
+              AS BIGINT) % 8 AS shard,
+         CAST(LEN(regexp_split_to_array(TRIM(main_text), '\\s+'))
+              AS BIGINT) AS n_tokens
+  FROM cleaned
+),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+              - n_tokens AS BIGINT) AS tok_offset
+  FROM slim
+)
+SELECT doc_id, shard, n_tokens, tok_offset,
+       CAST(FLOOR(tok_offset / 512) AS BIGINT) AS seq_id
+FROM packed ORDER BY doc_id
+"""
+
+
 def _q_nodes_histogram(spark, sf_dir):
     """DOM-node name histogram over the parsed corpus -- the exploded nodes
     table as a relational surface.  Template 0 node mix is deterministic."""
@@ -490,6 +543,8 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays driver-gated via sessionize)
         "window_user_events": R.q_window_user_events,
         # registry-external r6 ops: standing local replay
+        # (the full raw-HTML -> cleaned -> packed-sequences chain)
+        "corpus_to_sequences": _q_corpus_to_sequences,
         "bpe_tokenize": R.q_bpe_tokenize,
         "lm_perplexity": R.q_lm_perplexity,
         "repeated_spans": R.q_repeated_spans,
@@ -511,6 +566,7 @@ def aux_oracle_sql() -> dict[str, str]:
         "set_ops": R.ORACLE_SET_OPS,
         "order_priority": R.ORACLE_ORDER_PRIORITY,
         "window_user_events": R.ORACLE_WINDOW,
+        "corpus_to_sequences": ORACLE_CORPUS_TO_SEQUENCES,
         "bpe_tokenize": R.ORACLE_BPE_TOKENIZE,
         "lm_perplexity": R.ORACLE_LM_PERPLEXITY,
         "repeated_spans": R.ORACLE_REPEATED_SPANS,
