@@ -547,6 +547,7 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_to_sequences": _q_corpus_to_sequences,
         "bpe_tokenize": R.q_bpe_tokenize,
         "lm_perplexity": R.q_lm_perplexity,
+        "ppl_buckets": R.q_ppl_buckets,
         "repeated_spans": R.q_repeated_spans,
         "dup_coverage": R.q_dup_coverage,
     }
@@ -569,6 +570,7 @@ def aux_oracle_sql() -> dict[str, str]:
         "corpus_to_sequences": ORACLE_CORPUS_TO_SEQUENCES,
         "bpe_tokenize": R.ORACLE_BPE_TOKENIZE,
         "lm_perplexity": R.ORACLE_LM_PERPLEXITY,
+        "ppl_buckets": R.ORACLE_PPL_BUCKETS,
         "repeated_spans": R.ORACLE_REPEATED_SPANS,
         "dup_coverage": R.ORACLE_DUP_COVERAGE,
     }

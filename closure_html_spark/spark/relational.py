@@ -3463,6 +3463,45 @@ GROUP BY doc_id ORDER BY doc_id
 ORACLE_LM_PERPLEXITY = _lm_perplexity_oracle_sql(500, 0.5)
 
 
+def q_ppl_buckets(spark, sf_dir, top_vocab: int = 500, k: float = 0.5):
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §4.3): tertile cutoffs over the corpus ppl distribution label
+    every doc head (most fluent third), middle, or tail -- the standard
+    'keep head+middle for pretraining' filter.
+
+    Scale shape: the cutoffs reduce to ONE ROW (exact interpolated
+    percentile here for cross-engine determinism at test scale; at
+    10^12 docs swap in approx_percentile -- a mergeable t-digest
+    partial agg -- and the rest of the plan is unchanged) broadcast
+    back over the scored frame; the label projection is map-side.
+    Output carries no floats, so the gate hashes exactly."""
+    scored = q_lm_perplexity(spark, sf_dir, top_vocab=top_vocab, k=k)
+    cuts = scored.agg(F.expr(
+        "percentile(ppl, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))"
+    ).alias("c"))
+    return (scored.crossJoin(F.broadcast(cuts))
+            .select("doc_id",
+                    F.when(F.col("ppl") <= F.col("c")[0], "head")
+                     .when(F.col("ppl") <= F.col("c")[1], "middle")
+                     .otherwise("tail").alias("bucket"))
+            .orderBy("doc_id"))
+
+
+ORACLE_PPL_BUCKETS = f"""
+WITH scored AS (SELECT * FROM ({ORACLE_LM_PERPLEXITY}) AS s),
+cuts AS (
+  SELECT quantile_cont(ppl, [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]) AS c
+  FROM scored
+)
+SELECT doc_id,
+       CASE WHEN ppl <= c[1] THEN 'head'
+            WHEN ppl <= c[2] THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored CROSS JOIN cuts
+ORDER BY doc_id
+"""
+
+
 def _pos_ngrams(docs, n: int):
     """Positional variant of _ngrams: (doc_id, pos, gram) with pos the
     0-based word offset of the window start.  Same shuffle-free

@@ -42,6 +42,20 @@ def test_plan_broadcast_no_python(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_ppl_buckets_tertiles(spark):
+    """Bucketing splits the corpus into near-equal tertiles with
+    head.max <= middle.min <= tail ordering, and the cutoff row is
+    broadcast (no sort-merge join)."""
+    df = R.q_ppl_buckets(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    from pyspark.sql import functions as F
+    counts = {r.bucket: r.n for r in
+              df.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 500
+    assert all(166 <= v <= 168 for v in counts.values()), counts
+
+
 def test_oracle_sf0001(spark):
     got = R.q_lm_perplexity(spark, SF).toPandas()
     con = duckdb.connect()
