@@ -90,6 +90,88 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fn, schema)
 
 
+def _fake_pixels(payload: bytes, w: int, h: int):
+    """Deterministic fake 'decoded image': payload bytes tiled into an
+    (h, w) uint8 grayscale matrix.  Stands in for the codec output so
+    the resize math downstream is real and testable."""
+    import numpy as np
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if len(buf) == 0:
+        buf = np.zeros(1, np.uint8)
+    reps = -(-(w * h) // len(buf))
+    return np.tile(buf, reps)[: w * h].reshape(h, w)
+
+
+RESIZED_SCHEMA = ("media_id long, doc_id long, out_w int, out_h int, "
+                  "mean_px double, resized_sha string")
+
+
+def resize_media(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """mapInPandas resize stage: nearest-neighbor index-map resample of
+    the decoded matrix to (out_w, out_h) -- REAL resize math over the
+    deterministic fake decode; only the codec boundary is stubbed
+    (non-fake mimes raise at _decode boundary exactly like decode_media).
+    Output: per-media resized checksum + mean pixel -- the dedup/quality
+    signals an image pipeline derives from thumbnails."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "doc_id": pdf["doc_id"],
+                   "out_w": [], "out_h": [], "mean_px": [],
+                   "resized_sha": []}
+            for mime, payload, meta in zip(pdf["mime"], pdf["payload"],
+                                           pdf["meta"]):
+                if not mime.startswith("fake/"):
+                    raise NotImplementedError(
+                        f"codec for {mime!r} not bundled")
+                w, h = int(meta["width"]), int(meta["height"])
+                px = _fake_pixels(bytes(payload), w, h)
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                rs = px[yi][:, xi]
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["mean_px"].append(float(rs.mean()))
+                out["resized_sha"].append(
+                    hashlib.sha256(rs.tobytes()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_id long, doc_id long, frame_idx int, frame_sha string"
+
+
+def frame_sample(df: DataFrame, every_k: int = 5) -> DataFrame:
+    """mapInPandas frame-sampling stage for video rows: every k-th frame
+    index up to meta.n_frames, one OUTPUT ROW PER SAMPLED FRAME (the
+    1->N batch-shape case the decode/resize stages don't exercise).
+    Frame content is the deterministic fake digest of (payload, idx);
+    a real ffmpeg seek-and-decode drops into the same loop."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "doc_id": [], "frame_idx": [],
+                    "frame_sha": []}
+            for mid, did, mime, payload, meta in zip(
+                    pdf["media_id"], pdf["doc_id"], pdf["mime"],
+                    pdf["payload"], pdf["meta"]):
+                if not mime.startswith("fake/"):
+                    raise NotImplementedError(
+                        f"codec for {mime!r} not bundled")
+                for idx in range(0, int(meta["n_frames"]), every_k):
+                    rows["media_id"].append(mid)
+                    rows["doc_id"].append(did)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_sha"].append(hashlib.sha256(
+                        bytes(payload) + idx.to_bytes(4, "big")).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("mime") == "fake/video").mapInPandas(
+        fn, FRAMES_SCHEMA)
+
+
 def q_media_decode(spark, sf_dir):
     """Decoded media stats -- byte_len/sha256 are SQL-expressible over
     documents, so the oracle checks the whole synthesize->decode path."""
