@@ -1,0 +1,56 @@
+"""JSONL sharded export: round trip, deterministic shard layout, and
+agreement with q_pack_sequences' shard assignment."""
+
+import glob
+import json
+
+from pyspark.sql import functions as F
+
+from closure_html_spark.spark import relational as R
+from closure_html_spark.spark.sinks import read_jsonl_sharded, \
+    write_jsonl_sharded
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_roundtrip_and_layout(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "lang", "text")
+    out = str(tmp_path / "corpus")
+    write_jsonl_sharded(docs, out, n_shards=8)
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(dirs) == 8
+    back = read_jsonl_sharded(
+        spark, out, "doc_id long, lang string, text string")
+    assert back.count() == 500
+    a = {r.doc_id: (r.lang, r.text) for r in docs.collect()}
+    b = {r.doc_id: (r.lang, r.text) for r in back.collect()}
+    assert a == b
+
+
+def test_shard_matches_pack_sequences(spark, tmp_path):
+    """The file a doc lands in equals q_pack_sequences' shard for that
+    doc -- the export layout and the packing plan agree."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    out = str(tmp_path / "corpus")
+    write_jsonl_sharded(docs, out, n_shards=8)
+    back = read_jsonl_sharded(spark, out, "doc_id long, text string") \
+        .select("doc_id", "shard")
+    packed = R.q_pack_sequences(spark, SF).select(
+        "doc_id", F.col("shard").alias("pshard"))
+    joined = back.join(packed, "doc_id")
+    assert joined.count() == 500
+    assert joined.filter("shard != pshard").count() == 0
+
+
+def test_lines_are_json_objects(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text").limit(20)
+    out = str(tmp_path / "c2")
+    write_jsonl_sharded(docs, out, n_shards=2)
+    files = glob.glob(f"{out}/shard=*/part-*")
+    assert files
+    line = open(files[0]).readline()
+    obj = json.loads(line)
+    assert set(obj) <= {"doc_id", "text"} and "doc_id" in obj
