@@ -143,6 +143,59 @@ def _q_extract_links(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def _q_anchor_text(spark, sf_dir):
+    """Inbound anchor-text aggregation -- the classic web-scale signal
+    (the anchor text of links POINTING AT a page describes it better
+    than its own body; used from early IR ranking through modern corpus
+    curation as a page-quality/topic feature).  The extract stage emits
+    (links, anchors) as parallel arrays from its single DOM walk
+    (columns= projection: no node table, no text payload), hrefs resolve
+    against the source url (RFC 3986 column exprs), and the ONLY
+    exchange carries (target_url, anchor) short strings: per-(target,
+    anchor) counts partial-agg map-side, then a per-target rollup picks
+    the dominant anchor via max(struct(n, anchor)) -- ties break to the
+    lexicographically largest anchor, deterministically.  At 100 TB the
+    anchor frame is ~30 edges x ~60 bytes per page, orders of magnitude
+    under the corpus itself, and both aggs combine before the wire.
+    Template-0 pages carry exactly home/about/contact site-relative
+    links, so the expected aggregate is a closed-form function of the
+    host assignment."""
+    pages = pages_from_documents(spark, sf_dir)
+    ext = extract_pages(pages, id_cols=("url",),
+                        columns=("links", "anchors"))
+    pairs = (ext.select(
+        "url", F.explode(F.arrays_zip("links", "anchors")).alias("p"))
+        .select("url", F.col("p.links").alias("href"),
+                F.col("p.anchors").alias("anchor")))
+    target = R.resolve_href(F.col("url"), F.col("href"))
+    edges = (pairs.select(target.alias("target_url"), "anchor")
+             .where(F.col("target_url").isNotNull()))
+    per = (edges.groupBy("target_url", "anchor")
+           .agg(F.count(F.lit(1)).alias("n")))
+    return (per.groupBy("target_url")
+            .agg(F.sum("n").alias("n_inlinks"),
+                 F.count(F.lit(1)).alias("n_anchors"),
+                 F.max(F.struct(F.col("n"), F.col("anchor")))
+                  .getField("anchor").alias("top_anchor"))
+            .orderBy("target_url"))
+
+
+ORACLE_ANCHOR_TEXT = """
+WITH h AS (
+  SELECT CASE WHEN doc_id % 10 < 3 THEN 0 ELSE doc_id % 50 END AS host
+  FROM documents
+),
+c AS (SELECT host, COUNT(*) AS n FROM h GROUP BY host),
+l AS (SELECT * FROM (VALUES ('/', 'home'), ('/about', 'about'),
+                            ('/c', 'contact')) AS t(path, anchor))
+SELECT 'https://host' || host || '.example' || path AS target_url,
+       n AS n_inlinks, CAST(1 AS BIGINT) AS n_anchors,
+       anchor AS top_anchor
+FROM c, l
+ORDER BY target_url
+"""
+
+
 def _q_extract_variants(spark, sf_dir):
     """Tag-soup repair under the hard correctness signal: replay extraction
     over the 4-template variant corpus (tile=4/variants=4 -- the same corpus
@@ -430,6 +483,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windows dropped, corpus-wide first occurrence kept; detect/
         # coverage reports (q_repeated_spans, q_dup_coverage) replay in aux
         "repeated_span_clean": R.q_repeated_span_clean,
+        # inbound anchor-text aggregation over the (links, anchors)
+        # parallel arrays (late r6; extract_links demoted to aux -- its
+        # href machinery stays gated via extract_variants AND this)
+        "anchor_text": _q_anchor_text,
         "simhash": R.q_simhash,
         # EXACT O(N^2) baseline -- gate/recall reference ONLY, never the
         # scale path (use embedding_neardup_lsh at any real corpus size)
@@ -451,7 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- full-pipeline extraction (parse + repair + extract) ---
         "serialize_roundtrip": _q_serialize_roundtrip,
         "nodes_histogram": _q_nodes_histogram,
-        "extract_links": _q_extract_links,
+        # (extract_links demoted to aux late r6 for anchor_text: per-doc
+        # href extraction stays driver-gated via extract_variants)
         "tokens_histogram": _q_tokens_histogram,
         "warn_histogram": _q_warn_histogram,
         "host_stats": _q_host_stats,
@@ -542,6 +600,9 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted late r6 for repeated_span_clean (window capability
         # stays driver-gated via sessionize)
         "window_user_events": R.q_window_user_events,
+        # demoted late r6 for anchor_text (href machinery stays gated
+        # via extract_variants + anchor_text)
+        "extract_links": _q_extract_links,
         # registry-external r6 ops: standing local replay
         # (the full raw-HTML -> cleaned -> packed-sequences chain)
         "corpus_to_sequences": _q_corpus_to_sequences,
@@ -567,6 +628,9 @@ def aux_oracle_sql() -> dict[str, str]:
         "set_ops": R.ORACLE_SET_OPS,
         "order_priority": R.ORACLE_ORDER_PRIORITY,
         "window_user_events": R.ORACLE_WINDOW,
+        "extract_links": (
+            "SELECT doc_id, CAST(3 AS BIGINT) AS n_links, "
+            "'/,/about,/c' AS hrefs FROM documents ORDER BY doc_id"),
         "corpus_to_sequences": ORACLE_CORPUS_TO_SEQUENCES,
         "bpe_tokenize": R.ORACLE_BPE_TOKENIZE,
         "lm_perplexity": R.ORACLE_LM_PERPLEXITY,
@@ -652,9 +716,7 @@ SELECT * FROM (
   UNION ALL SELECT 5, 0*d FROM n
 ) ORDER BY level
 """,
-        "extract_links": (
-            "SELECT doc_id, CAST(3 AS BIGINT) AS n_links, "
-            "'/,/about,/c' AS hrefs FROM documents ORDER BY doc_id"),
+        "anchor_text": ORACLE_ANCHOR_TEXT,
         # variant corpus: 4 reps/doc, variant = (doc_id+rep)%4; each
         # variant's repaired extraction is a fixed soup prefix + the
         # template-0 closed form (constants measured against the parser,

@@ -33,6 +33,7 @@ RESULT_COL_DDL = {
     "extracted_text": "string",
     "spans": "array<struct<start:int,end:int,score:double,keep:boolean>>",
     "links": "array<string>",
+    "anchors": "array<string>",
     "base": "string",
     "n_nodes": "int",
     "n_warns": "int",
@@ -44,31 +45,40 @@ RESULT_COL_DDL = {
 # BODY and cannot see HEAD, where BASE lives), so only consumers that ask
 # for them pay for it: columns=None builds the text/metadata set and a
 # frontier consumer passes columns=("links", "base")
-_DEFAULT_COLS = tuple(k for k in RESULT_COL_DDL if k not in ("links", "base"))
+_DEFAULT_COLS = tuple(k for k in RESULT_COL_DDL
+                      if k not in ("links", "anchors", "base"))
 
 
-def _doc_links_base(doc) -> tuple[list[str], str | None]:
-    """One full-DOM (pre)order walk collecting BOTH the crawl-frontier
-    outlink feed (HREF values of <A> nodes in document order) and the
-    document base URL (first BASE node's HREF -- the reference's own test
-    fixture pins a BASE node in HEAD, test.lisp:5-18)."""
+def _doc_links_base(doc) -> tuple[list[str], list[str], str | None]:
+    """One full-DOM (pre)order walk collecting the crawl-frontier
+    outlink feed (HREF values of <A> nodes in document order), the
+    anchor text of each link (concatenated pcdata of the A subtree --
+    the classic inbound-anchor relevance signal), and the document base
+    URL (first BASE node's HREF -- the reference's own test fixture pins
+    a BASE node in HEAD, test.lisp:5-18).  anchors[i] belongs to
+    links[i]; an A whose subtree has no pcdata yields ''."""
     out = []
+    anchors = []
     base = None
     name = doc.name
     attrs = doc.attrs
+    text = doc.text
     for n, _ in doc.walk():
         nm = name[n]
         if nm == "A":
             for k, v in (attrs[n] or ()):
                 if k == "HREF" and v is not None:
                     out.append(v)
+                    anchors.append("".join(
+                        t for c, _ in doc.walk(n)
+                        if (t := text[c]) is not None))
                     break
         elif nm == "BASE" and base is None:
             for k, v in (attrs[n] or ()):
                 if k == "HREF" and v is not None:
                     base = v
                     break
-    return out, base
+    return out, anchors, base
 
 
 def _doc_links(doc) -> list[str]:
@@ -178,6 +188,7 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
         for pdf in batches:
             out = {c: pdf[c] for c in id_cols}
             titles, texts, spans_col, links_col, base_col = [], [], [], [], []
+            anchors_col = []
             n_nodes, n_warns, warn_levels, charsets = [], [], [], []
             cts = pdf["content_type"] if has_ct else None
             for idx, raw in enumerate(pdf["html"]):
@@ -200,7 +211,7 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                     spans_v = [
                         {"start": s, "end": e, "score": sc, "keep": k}
                         for s, e, sc, k in res["spans"]]
-                    links_v, base_v = _doc_links_base(doc)
+                    links_v, anchors_v, base_v = _doc_links_base(doc)
                     nn, nw = len(doc.name), len(doc.warnings)
                     # parse-warn levels 1-5 (sgml-parse.lisp:285-292) as
                     # per-doc counters -> aggregable corpus metrics
@@ -214,7 +225,7 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                         nw += 1
                 except Exception as exc:  # never kill the batch for one doc
                     title_v = text_v = ""
-                    spans_v, links_v, base_v = [], [], None
+                    spans_v, links_v, anchors_v, base_v = [], [], [], None
                     nn, nw = 0, -1
                     lv = [0, 0, 0, 0, 0]
                     cs = f"error:{type(exc).__name__}"
@@ -222,13 +233,15 @@ def extract_pages(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
                 texts.append(text_v)
                 spans_col.append(spans_v)
                 links_col.append(links_v)
+                anchors_col.append(anchors_v)
                 base_col.append(base_v)
                 n_nodes.append(nn)
                 n_warns.append(nw)
                 warn_levels.append(lv)
                 charsets.append(cs)
             out.update(title=titles, extracted_text=texts,
-                       spans=spans_col, links=links_col, base=base_col,
+                       spans=spans_col, links=links_col,
+                       anchors=anchors_col, base=base_col,
                        n_nodes=n_nodes,
                        n_warns=n_warns, warn_levels=warn_levels,
                        charset=charsets)
@@ -308,10 +321,11 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
             # per-span Python dicts
             sp_off = [0]
             sp_start, sp_end, sp_score, sp_keep = [], [], [], []
-            lk_off, lk_flat = [0], []
+            lk_off, lk_flat, an_flat = [0], [], []
             bases = []
             wl_flat = []
             need_links = "links" in wanted
+            need_anchors = "anchors" in wanted
             need_base = "base" in wanted
             for idx in range(n):
                 # stage every per-doc value in locals inside the try and
@@ -338,10 +352,10 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
                     else:
                         title_v = text_v = ""
                         spans_v = ()
-                    if need_links or need_base:
-                        links_v, base_v = _doc_links_base(doc)
+                    if need_links or need_anchors or need_base:
+                        links_v, anchors_v, base_v = _doc_links_base(doc)
                     else:
-                        links_v, base_v = (), None
+                        links_v, anchors_v, base_v = (), (), None
                     nn, nw = len(doc.name), len(doc.warnings)
                     lv = (0, 0, 0, 0, 0)
                     if nw or oversize:
@@ -355,7 +369,7 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
                         nw += 1
                 except Exception as exc:  # never kill the batch for one doc
                     title_v = text_v = ""
-                    spans_v, links_v, base_v = (), (), None
+                    spans_v, links_v, anchors_v, base_v = (), (), (), None
                     nn, nw = 0, -1
                     lv = (0, 0, 0, 0, 0)
                     cs = f"error:{type(exc).__name__}"
@@ -368,6 +382,7 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
                     sp_keep.append(k)
                 sp_off.append(len(sp_start))
                 lk_flat.extend(links_v)
+                an_flat.extend(anchors_v)
                 lk_off.append(len(lk_flat))
                 bases.append(base_v)
                 n_nodes.append(nn)
@@ -414,6 +429,11 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
             if "links" in wanted:
                 built["links"] = pa.ListArray.from_arrays(
                     pa.array(lk_off, i32), pa.array(lk_flat, pa.string()))
+            if "anchors" in wanted:
+                # one anchor per link: the links offsets describe this
+                # child array too
+                built["anchors"] = pa.ListArray.from_arrays(
+                    pa.array(lk_off, i32), pa.array(an_flat, pa.string()))
             if "base" in wanted:
                 built["base"] = pa.array(bases, pa.string())
             if "n_nodes" in wanted:

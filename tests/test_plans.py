@@ -151,7 +151,7 @@ def test_extract_links_no_node_table(spark, tmp_path_factory):
     per-node rows (only the final per-doc sort remains)."""
     from closure_html_spark.spark.pages import pages_from_documents
     import __spark_entry__ as entry
-    df = entry.queries()["extract_links"](spark, SF)
+    df = entry.aux_queries()["extract_links"](spark, SF)
     plan = plan_of(df)
     assert "MapInArrow" in plan
     # no per-node explode (posexplode in nodes_of) and no aggregation
