@@ -31,6 +31,11 @@ def main(argv=None):
     ap.add_argument("--group-size", type=int, default=16)
     ap.add_argument("--streaming", action="store_true",
                     help="drain via Structured Streaming (availableNow)")
+    ap.add_argument("--export-jsonl", metavar="DIR", default=None,
+                    help="additionally export the extracted corpus as "
+                         "sharded JSONL (the trainer-facing boundary "
+                         "format; shard layout matches pack_sequences)")
+    ap.add_argument("--export-shards", type=int, default=64)
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("chs-extract").getOrCreate()
@@ -57,12 +62,21 @@ def main(argv=None):
     res = run_extraction_with_lineage(
         spark, pages, args.output, n_buckets=args.buckets,
         group_size=args.group_size)
-    n = spark.read.parquet(f"{args.output}/extracted").count()
+    out = spark.read.parquet(f"{args.output}/extracted")
+    n = out.count()
+    exported = None
+    if args.export_jsonl:
+        from closure_html_spark.spark.sinks import write_jsonl_sharded
+        write_jsonl_sharded(
+            out.select("url", "title", "main_text"), args.export_jsonl,
+            n_shards=args.export_shards, shard_key="url")
+        exported = args.export_jsonl
     print(json.dumps({"mode": "batch", "rows": n,
                       "processed_buckets": len(res["processed"]),
                       "skipped_buckets": len(res["skipped"]),
                       "cleaned_partial": res["cleaned_partial"],
-                      "run_id": res["run_id"]}))
+                      "run_id": res["run_id"],
+                      "exported_jsonl": exported}))
     return 0
 
 
