@@ -611,6 +611,9 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": R.q_ppl_buckets,
         "repeated_spans": R.q_repeated_spans,
         "dup_coverage": R.q_dup_coverage,
+        # late r6: reproducible training order + CDX revisit dedup
+        "corpus_shuffle": R.q_corpus_shuffle,
+        "url_revisit": R.q_url_revisit,
     }
 
 
@@ -637,6 +640,8 @@ def aux_oracle_sql() -> dict[str, str]:
         "ppl_buckets": R.ORACLE_PPL_BUCKETS,
         "repeated_spans": R.ORACLE_REPEATED_SPANS,
         "dup_coverage": R.ORACLE_DUP_COVERAGE,
+        "corpus_shuffle": R.ORACLE_CORPUS_SHUFFLE,
+        "url_revisit": R.ORACLE_URL_REVISIT,
     }
 
 

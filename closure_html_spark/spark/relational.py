@@ -3788,3 +3788,111 @@ ORDER BY d.doc_id
 
 
 ORACLE_REPEATED_SPAN_CLEAN = _repeated_span_clean_oracle_sql(8, 2)
+
+
+def q_corpus_shuffle(spark, sf_dir, n_shards: int = 8, seed: str = "s0"):
+    """Deterministic corpus shuffle: the reproducible global-random
+    training order every pretraining run needs.  Each doc's position is
+    a pure function of (seed, doc_id) -- md5 -- so the order is stable
+    across runs/retries/cluster sizes and changes completely with the
+    seed (epoch reshuffles = bump the seed).
+
+    Scale shape: shard = first 8 hex digits of the hash mod n_shards
+    (the pack_sequences/JSONL-sink layout), position = row_number over
+    the hash WITHIN the shard -- n_shards independent sorts of (doc_id,
+    32-char hash) rows, never a global sort and never any text through
+    the exchange.  At 10^12 docs n_shards grows to O(10^4) output
+    shards so each per-shard sort stays executor-sized."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"),
+                       F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+             % n_shards)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (docs.select("doc_id", h.alias("h"), shard.alias("shard"))
+            .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+            .select("doc_id", "shard", "pos")
+            .orderBy("doc_id"))
+
+
+def _corpus_shuffle_oracle_sql(n_shards, seed):
+    return f"""
+WITH s AS (
+  SELECT doc_id, md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS h,
+         CAST(from_hex(substring(md5('{seed}:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8))::BIT AS BIGINT) % {n_shards} AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM s ORDER BY doc_id
+"""
+
+
+ORACLE_CORPUS_SHUFFLE = _corpus_shuffle_oracle_sql(8, "s0")
+
+
+def q_url_revisit(spark, sf_dir, n_snapshots: int = 3):
+    """CDX-style URL revisit dedup: a crawl archive holds several
+    snapshots of the same url; corpus ingest keeps the LATEST capture
+    per url (optionally flagging unchanged-content revisits, which the
+    exact-dedup family already covers downstream).
+
+    Snapshots are synthesized deterministically -- snapshot k of doc d
+    is captured at base + ((d * (k+1)) %% 1000) seconds, so the winner
+    varies per url rather than being constant-k (a vacuous oracle
+    otherwise).  Scale shape: the winner pick is max(struct(ts,
+    snap_id)) in ONE partial-agg pass -- the exchange carries (url,
+    ts, snap_id) only; at ingest scale the html payload joins back on
+    the winning (url, snap_id) pair, bucket-by-url, text moving once."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host = F.when((F.col("doc_id") % 10) < 3, F.lit(0)) \
+            .otherwise(F.col("doc_id") % 50)
+    url = F.concat(F.lit("https://host"), host.cast("string"),
+                   F.lit(".example/p"), F.col("doc_id").cast("string"))
+    snaps = docs.select(
+        "doc_id", url.alias("url"),
+        F.explode(F.sequence(
+            F.lit(0), F.lit(n_snapshots - 1))).alias("snap_id"))
+    ts = (F.to_timestamp(F.lit("2024-01-01 00:00:00")) +
+          F.make_interval(secs=(F.col("doc_id") * (F.col("snap_id") + 1))
+                          % 1000))
+    return (snaps.select("url", "snap_id", ts.alias("warc_ts"))
+            .groupBy("url")
+            .agg(F.count(F.lit(1)).alias("n_snapshots"),
+                 F.max(F.struct(F.col("warc_ts"), F.col("snap_id")))
+                  .alias("w"))
+            .select("url", "n_snapshots",
+                    F.col("w.snap_id").alias("kept_snap"),
+                    F.col("w.warc_ts").alias("kept_ts"))
+            .orderBy("url"))
+
+
+def _url_revisit_oracle_sql(n_snapshots):
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         'https://host' || CAST(CASE WHEN doc_id % 10 < 3 THEN 0
+                                     ELSE doc_id % 50 END AS VARCHAR)
+           || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+         k.snap_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds((doc_id * (k.snap_id + 1)) % 1000) AS warc_ts
+  FROM documents,
+       (SELECT UNNEST(range({n_snapshots})) AS snap_id) k
+),
+r AS (
+  SELECT url, snap_id, warc_ts,
+         COUNT(*) OVER (PARTITION BY url) AS n_snapshots,
+         ROW_NUMBER() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, snap_id DESC) AS rn
+  FROM s
+)
+SELECT url, n_snapshots, snap_id AS kept_snap, warc_ts AS kept_ts
+FROM r WHERE rn = 1
+ORDER BY url
+"""
+
+
+ORACLE_URL_REVISIT = _url_revisit_oracle_sql(3)
