@@ -614,6 +614,8 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # late r6: reproducible training order + CDX revisit dedup
         "corpus_shuffle": R.q_corpus_shuffle,
         "url_revisit": R.q_url_revisit,
+        # C4 line-level cleaning over synthesized multi-line pages
+        "c4_line_clean": R.q_c4_line_clean,
     }
 
 
@@ -642,6 +644,7 @@ def aux_oracle_sql() -> dict[str, str]:
         "dup_coverage": R.ORACLE_DUP_COVERAGE,
         "corpus_shuffle": R.ORACLE_CORPUS_SHUFFLE,
         "url_revisit": R.ORACLE_URL_REVISIT,
+        "c4_line_clean": R.ORACLE_C4_LINE_CLEAN,
     }
 
 

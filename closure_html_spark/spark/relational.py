@@ -3896,3 +3896,105 @@ ORDER BY url
 
 
 ORACLE_URL_REVISIT = _url_revisit_oracle_sql(3)
+
+
+def _c4_keep_line(line, *, min_words: int = 5):
+    """The C4 line-retention predicate (Raffel et al. 2020 §2.2): keep a
+    line iff it ends in terminal punctuation, has >= min_words words,
+    and does not mention javascript.  Pure codegen -- usable inside a
+    filter() HOF lambda.  min_words is keyword-only: a second positional
+    parameter would make pyspark's HOF dispatch treat this as a
+    two-argument (element, index) lambda and bind the ELEMENT INDEX as
+    min_words (observed: line 3 kept with 4 words)."""
+    wc = F.when(F.length(F.trim(line)) == 0, F.lit(0)) \
+          .otherwise(F.size(F.split(F.trim(line), r"\s+")))
+    return (line.rlike('[.!?"]$') & (wc >= min_words)
+            & ~F.lower(line).contains("javascript"))
+
+
+def q_c4_line_clean(spark, sf_dir):
+    """C4 line-level cleaning -- the canonical web-text cleanup recipe:
+    keep lines ending in terminal punctuation with >= 5 words and no
+    'javascript'; drop the whole page on 'lorem ipsum' or a curly brace
+    or fewer than 3 surviving lines.  Testdata text has no newlines or
+    punctuation, so (like q_url_canonical's messy-URL synthesis) each
+    doc becomes a deterministic 5-line page: a clean sentence, a
+    too-short fragment, a javascript line on doc_id%3, a lorem-ipsum
+    page-killer on doc_id%7, and a curly-brace code line on doc_id%11
+    -- every rule fires on a known sub-population, so the oracle is
+    non-vacuous for each rule independently.
+
+    Scale shape: entirely map-side column expressions (split / filter
+    HOF / array_join inside codegen) -- no shuffle, no Python; the only
+    exchange is the output orderBy for the gate compare."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    w = F.split(F.trim("text"), r"\s+")
+    l1 = F.concat(F.array_join(F.slice(w, 1, 6), " "), F.lit("."))
+    l2 = F.array_join(F.slice(w, 7, 3), " ")
+    l3 = F.concat(F.array_join(F.slice(w, 10, 5), " "),
+                  F.when(d % 3 == 0, F.lit(" javascript."))
+                   .otherwise(F.lit("!")))
+    l4 = F.when(d % 7 == 0, F.lit("lorem ipsum.")).otherwise(
+        F.concat(F.array_join(F.slice(w, 15, 5), " "), F.lit("?")))
+    l5 = F.when(d % 11 == 0, F.lit("function() { return; }")).otherwise(
+        F.concat(F.array_join(F.slice(w, 20, 5), " "), F.lit(".")))
+    page = F.concat_ws("\n", l1, l2, l3, l4, l5)
+    lines = F.split(page, "\n")
+    kept = F.filter(lines, lambda line: _c4_keep_line(line))
+    page_ok = (~F.lower(page).contains("lorem ipsum")
+               & ~page.contains("{") & (F.size(kept) >= 3))
+    return (docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        page_ok.alias("page_kept"),
+        F.when(page_ok, F.array_join(kept, "\n"))
+         .otherwise(F.lit("")).alias("clean_text"))
+        .orderBy("doc_id"))
+
+
+ORACLE_C4_LINE_CLEAN = """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+),
+built AS (
+  SELECT doc_id,
+    COALESCE(array_to_string(w[1:6], ' '), '') || '.' AS l1,
+    COALESCE(array_to_string(w[7:9], ' '), '') AS l2,
+    COALESCE(array_to_string(w[10:14], ' '), '')
+      || CASE WHEN doc_id % 3 = 0 THEN ' javascript.' ELSE '!' END AS l3,
+    CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum.'
+         ELSE COALESCE(array_to_string(w[15:19], ' '), '') || '?' END AS l4,
+    CASE WHEN doc_id % 11 = 0 THEN 'function() { return; }'
+         ELSE COALESCE(array_to_string(w[20:24], ' '), '') || '.' END AS l5
+  FROM base
+),
+page AS (
+  SELECT doc_id,
+         l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4
+            || chr(10) || l5 AS p
+  FROM built
+),
+k AS (
+  SELECT doc_id, p,
+         list_filter(string_split(p, chr(10)), l ->
+           regexp_matches(l, '[.!?"]$')
+           AND (CASE WHEN trim(l) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(l), '\\s+')) END)
+               >= 5
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM page
+)
+SELECT doc_id,
+       CAST(len(string_split(p, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       (NOT contains(lower(p), 'lorem ipsum') AND NOT contains(p, '{')
+        AND len(kept) >= 3) AS page_kept,
+       CASE WHEN NOT contains(lower(p), 'lorem ipsum')
+                 AND NOT contains(p, '{') AND len(kept) >= 3
+            THEN COALESCE(array_to_string(kept, chr(10)), '')
+            ELSE '' END AS clean_text
+FROM k ORDER BY doc_id
+"""
