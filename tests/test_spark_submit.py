@@ -41,7 +41,9 @@ def test_spark_submit_pyfiles(tmp_path):
          str(ROOT / "tools" / "run_extraction.py"),
          "--input", "synth:/root/testdata/sf0.001",
          "--output", str(out_dir),
-         "--buckets", "8", "--group-size", "8"],
+         "--buckets", "8", "--group-size", "8",
+         "--export-jsonl", str(tmp_path / "jsonl"),
+         "--export-shards", "4"],
         capture_output=True, text=True, timeout=600, env=env,
         cwd=str(tmp_path))  # cwd outside the repo: no implicit imports
     assert res.returncode == 0, res.stderr[-3000:]
@@ -57,3 +59,11 @@ def test_spark_submit_pyfiles(tmp_path):
     assert got.count() == 500
     man = spark.read.parquet(str(out_dir / "_lineage"))
     assert man.filter("status = 'ok'").select("bucket").distinct().count() == 8
+
+    # the trainer-facing JSONL export landed, sharded and complete
+    assert summary["exported_jsonl"] == str(tmp_path / "jsonl")
+    shards = sorted((tmp_path / "jsonl").glob("shard=*"))
+    assert len(shards) == 4
+    jl = spark.read.json(str(tmp_path / "jsonl" / "shard=*"))
+    assert jl.count() == 500
+    assert {"url", "title", "main_text"} <= set(jl.columns)
