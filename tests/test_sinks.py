@@ -54,3 +54,19 @@ def test_lines_are_json_objects(spark, tmp_path):
     line = open(files[0]).readline()
     obj = json.loads(line)
     assert set(obj) <= {"doc_id", "text"} and "doc_id" in obj
+
+
+def test_roundtrip_embedded_newlines_and_quotes(spark, tmp_path):
+    """Real corpus text contains newlines/quotes/backslashes; to_json must
+    escape them so every row stays exactly one line."""
+    rows = [(1, 'line one\nline two'), (2, 'quote " and \\ backslash'),
+            (3, 'tab\there'), (4, '')]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "c3")
+    write_jsonl_sharded(df, out, n_shards=2)
+    files = glob.glob(f"{out}/shard=*/part-*")
+    n_lines = sum(1 for f in files for _ in open(f))
+    assert n_lines == 4
+    back = read_jsonl_sharded(spark, out, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in back.collect()}
+    assert got == dict(rows)
