@@ -1064,6 +1064,61 @@ def robots_allowed(urls_df, rules_df):
             .drop("rules"))
 
 
+def robots_directives(robots_df):
+    """Per-host politeness metadata beyond allow/disallow: `Crawl-delay`
+    for the '*' group (the de-facto extension most crawlers honor; a
+    per-host fetch-rate budget for the frontier scheduler) and the
+    file-global `Sitemap:` urls (sitemaps are NOT group-scoped --
+    sitemaps.org protocol -- so they collect per host regardless of
+    position).  Group attribution mirrors robots_rules, except
+    crawl-delay lines are group MEMBERS (a rule-type line ends a
+    user-agent run), and comments/blank lines stay transparent.
+
+    Scale shape: the robots side is tiny and static (one row per host);
+    every aggregation here happens on it, never on the frontier --
+    consumers broadcast the result exactly like robots_rules."""
+    lines = robots_df.select(
+        "host", F.posexplode(F.split("robots", "\n")).alias("pos", "line"))
+    kind = F.lower(F.trim(
+        F.regexp_extract("line", r"^\s*([A-Za-z-]+)\s*:", 1)))
+    value = F.trim(F.regexp_extract("line", r":\s*([^#]*)", 1))
+    parsed = lines.select("host", "pos", kind.alias("kind"),
+                          value.alias("value"))
+    # sitemaps: file-global, document order
+    sitemaps = (parsed.filter((F.col("kind") == "sitemap")
+                              & (F.col("value") != ""))
+                .groupBy("host")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("pos", "value"))).alias("sv"))
+                .select("host", F.transform(
+                    "sv", lambda s: s["value"]).alias("sitemaps")))
+    # crawl-delay: group-scoped like rules
+    grp_rows = parsed.filter(
+        F.col("kind").isin("user-agent", "allow", "disallow", "crawl-delay"))
+    wseq = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("kind") == "user-agent").cast("int")
+    new_grp = ((is_ua == 1) &
+               (F.coalesce(F.lag(is_ua).over(wseq), F.lit(0)) == 0))
+    grouped = grp_rows.withColumn(
+        "grp", F.sum(new_grp.cast("int")).over(
+            wseq.rowsBetween(Window.unboundedPreceding, 0)))
+    wgrp = Window.partitionBy("host", "grp")
+    agents = F.collect_set(
+        F.when(F.col("kind") == "user-agent",
+               F.lower(F.col("value")))).over(wgrp)
+    delay = (grouped.withColumn("agents", agents)
+             .filter((F.col("kind") == "crawl-delay")
+                     & F.array_contains(F.col("agents"), "*"))
+             .groupBy("host")
+             .agg(F.min(F.col("value").cast("double"))
+                   .alias("crawl_delay")))
+    return (robots_df.select("host").distinct()
+            .join(delay, "host", "left")
+            .join(sitemaps, "host", "left")
+            .select("host", "crawl_delay",
+                    F.coalesce("sitemaps", F.array()).alias("sitemaps")))
+
+
 def q_robots_filter(spark, sf_dir):
     """The crawl-politeness leg: deterministic per-host robots.txt files
     (an evilbot group with Disallow: / -- the canary that blocks

@@ -2,6 +2,7 @@
 
 from pyspark.sql import functions as F
 
+from closure_html_spark.spark import relational as R
 from closure_html_spark.spark.relational import robots_allowed, robots_rules
 
 
@@ -80,3 +81,30 @@ def test_non_group_directives_transparent(spark):
     assert _rules(spark, "User-agent: a\nSitemap: https://h.ex/s.xml\n"
                          "User-agent: *\nDisallow: /x\n") \
         == {(False, "/x")}
+
+
+def test_robots_directives(spark):
+    """Crawl-delay group attribution + file-global sitemaps: the '*'
+    group's delay wins, agent-specific delays don't leak, sitemaps
+    collect in document order regardless of position, and a host with
+    no directives still yields one row (null delay, empty sitemaps)."""
+    robots = spark.createDataFrame([
+        ("a.example",
+         "Sitemap: https://a.example/s1.xml\n"
+         "User-agent: evilbot\nCrawl-delay: 99\nDisallow: /\n\n"
+         "# comment\n"
+         "User-agent: *\nDisallow: /x\nCrawl-delay: 2.5\n"
+         "Sitemap: https://a.example/s2.xml\n"),
+        # crawl-delay ends the UA run: '*' after it is a NEW group,
+        # so bot-a's delay must NOT attach to '*'
+        ("b.example",
+         "User-agent: bot-a\nCrawl-delay: 7\nUser-agent: *\n"
+         "Disallow: /y\n"),
+        ("c.example", "User-agent: *\nDisallow: /z\n"),
+    ], "host string, robots string")
+    got = {r.host: (r.crawl_delay, list(r.sitemaps))
+           for r in R.robots_directives(robots).collect()}
+    assert got["a.example"] == (2.5, ["https://a.example/s1.xml",
+                                      "https://a.example/s2.xml"])
+    assert got["b.example"] == (None, [])
+    assert got["c.example"] == (None, [])
