@@ -1113,10 +1113,39 @@ def robots_directives(robots_df):
              .agg(F.min(F.col("value").cast("double"))
                    .alias("crawl_delay")))
     return (robots_df.select("host").distinct()
-            .join(delay, "host", "left")
-            .join(sitemaps, "host", "left")
+            .join(F.broadcast(delay), "host", "left")
+            .join(F.broadcast(sitemaps), "host", "left")
             .select("host", "crawl_delay",
                     F.coalesce("sitemaps", F.array()).alias("sitemaps")))
+
+
+def frontier_schedule(urls_df, directives_df, per_host_cap: int = 1000,
+                      default_delay: float = 1.0):
+    """Politeness scheduling: turn a crawl frontier (host, url) plus
+    robots_directives into a fetch plan -- each url gets a per-host slot
+    and an earliest-fetch offset `eta_sec = slot * crawl_delay` (the
+    sequential-per-host budget every polite crawler enforces).
+
+    Scale shape: the directives side is tiny and broadcast; the only
+    exchange carries (host, url) strings for the per-host ranking
+    window.  Per-host sequencing is inherently a per-host order, so the
+    window partitions by host -- skew (one hot host with 10^7 frontier
+    urls) is bounded by `per_host_cap` FIRST: a polite crawler can only
+    fetch cap urls from one host per cycle anyway (cap * delay seconds),
+    so ranking past the cap is wasted work and the cap doubles as the
+    skew guard.  Deterministic: slots order by url, ties impossible
+    (urls pre-deduped by the frontier)."""
+    w = Window.partitionBy("host").orderBy("url")
+    ranked = (urls_df.withColumn(
+        "slot", (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("slot") < per_host_cap))
+    joined = ranked.join(
+        F.broadcast(directives_df.select("host", "crawl_delay")),
+        "host", "left")
+    delay = F.coalesce(F.col("crawl_delay"), F.lit(default_delay))
+    return joined.select(
+        "host", "url", "slot",
+        (F.col("slot") * delay).alias("eta_sec"))
 
 
 def q_robots_filter(spark, sf_dir):

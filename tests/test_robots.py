@@ -108,3 +108,28 @@ def test_robots_directives(spark):
                                       "https://a.example/s2.xml"])
     assert got["b.example"] == (None, [])
     assert got["c.example"] == (None, [])
+
+
+def test_frontier_schedule(spark):
+    """Slots sequence per host, eta multiplies the host's crawl-delay
+    (default 1.0 when absent), the per-host cap truncates hot hosts, and
+    the directives join is a broadcast."""
+    urls = spark.createDataFrame(
+        [("a.example", f"https://a.example/p{i}") for i in range(5)]
+        + [("c.example", "https://c.example/only")],
+        "host string, url string")
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n")],
+        "host string, robots string")
+    plan = R.frontier_schedule(
+        urls, R.robots_directives(robots), per_host_cap=3)
+    rows = {(r.host, r.url): (r.slot, r.eta_sec) for r in plan.collect()}
+    # cap: only 3 of a.example's 5 urls scheduled this cycle
+    assert len([k for k in rows if k[0] == "a.example"]) == 3
+    assert rows[("a.example", "https://a.example/p0")] == (0, 0.0)
+    assert rows[("a.example", "https://a.example/p2")] == (2, 5.0)
+    # host with no robots row: default 1.0s delay
+    assert rows[("c.example", "https://c.example/only")] == (0, 0.0)
+    qplan = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in qplan
+    assert "SortMergeJoin" not in qplan
