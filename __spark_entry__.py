@@ -616,6 +616,9 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_revisit": R.q_url_revisit,
         # C4 line-level cleaning over synthesized multi-line pages
         "c4_line_clean": R.q_c4_line_clean,
+        # token-budget quality-first selection (histogram + boundary
+        # stratum vs the oracle's single global window: same set)
+        "quality_budget_select": R.q_quality_budget_select,
     }
 
 
@@ -645,6 +648,7 @@ def aux_oracle_sql() -> dict[str, str]:
         "corpus_shuffle": R.ORACLE_CORPUS_SHUFFLE,
         "url_revisit": R.ORACLE_URL_REVISIT,
         "c4_line_clean": R.ORACLE_C4_LINE_CLEAN,
+        "quality_budget_select": R.ORACLE_QUALITY_BUDGET,
     }
 
 

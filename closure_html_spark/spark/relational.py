@@ -4082,3 +4082,81 @@ SELECT doc_id,
             ELSE '' END AS clean_text
 FROM k ORDER BY doc_id
 """
+
+
+def q_quality_budget_select(spark, sf_dir, token_budget: int = 20000):
+    """Token-budget corpus selection -- quality-first curation: keep the
+    highest-quality documents (score = distinct-word count, a lexical-
+    diversity proxy; any integral score plugs in) until the token budget
+    is exhausted, deterministically.
+
+    Scale shape: NO global sort.  A per-score histogram (one row per
+    score level -- bounded by score cardinality, the BPE word-counter
+    pattern; bucket the score at 10^12 docs) partial-aggregates to the
+    driver, which finds the boundary level b and the residual budget
+    with plain arithmetic; full levels above b select map-side by
+    comparison, and ONLY the boundary stratum pays a window (cumsum by
+    doc_id inside score == b).  The oracle replays the whole selection
+    as one global cumulative window -- two different plans, provably the
+    same set: a doc is selected iff the total tokens of all
+    higher-priority docs is under budget."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim("text"), r"\s+")
+    n_tok = F.when(F.length(F.trim("text")) == 0, F.lit(0)) \
+             .otherwise(F.size(w)).cast("long")
+    score = F.when(F.length(F.trim("text")) == 0, F.lit(0)) \
+             .otherwise(F.size(F.array_distinct(w))).cast("long")
+    base = docs.select("doc_id", score.alias("score"),
+                       n_tok.alias("n_tokens"))
+    levels = sorted(
+        ((r["score"], r["tok"]) for r in
+         base.groupBy("score").agg(F.sum("n_tokens").alias("tok"))
+             .collect()),
+        key=lambda x: -x[0])
+    cum, boundary, rem = 0, None, 0
+    for s_, t_ in levels:
+        if cum + t_ >= token_budget:
+            boundary, rem = s_, token_budget - cum
+            break
+        cum += t_
+    if boundary is None:  # budget >= whole corpus
+        out = base.withColumn("selected", F.lit(True))
+    else:
+        wb = Window.partitionBy("score").orderBy("doc_id") \
+                   .rowsBetween(Window.unboundedPreceding, -1)
+        bsel = (base.filter(F.col("score") == boundary)
+                .select("doc_id",
+                        F.coalesce(F.sum("n_tokens").over(wb), F.lit(0))
+                         .alias("cb")))
+        out = (base.join(bsel, "doc_id", "left")
+               .withColumn("selected",
+                           (F.col("score") > boundary)
+                           | ((F.col("score") == boundary)
+                              & (F.col("cb") < rem)))
+               .drop("cb"))
+    return (out.select("doc_id", "score", "n_tokens", "selected")
+            .orderBy("doc_id"))
+
+
+def _quality_budget_oracle_sql(token_budget):
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         AS BIGINT) AS n_tokens,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+         END AS BIGINT) AS score
+  FROM documents
+)
+SELECT doc_id, score, n_tokens,
+       COALESCE(SUM(n_tokens) OVER (
+         ORDER BY score DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         < {token_budget} AS selected
+FROM s ORDER BY doc_id
+"""
+
+
+ORACLE_QUALITY_BUDGET = _quality_budget_oracle_sql(20000)

@@ -69,3 +69,24 @@ def test_pdf_length_is_byte_count(spark, tmp_path):
     assert m, raw[:200]
     assert int(m.group(1)) == len(m.group(2))
     assert len(m.group(2)) > len(m.group(2).decode("utf-8"))
+
+
+def test_quality_budget_select_edges(spark):
+    """Budget >= corpus selects everything; tiny budget selects only the
+    top stratum prefix; totals respect the budget boundary exactly."""
+    from closure_html_spark.spark import relational as R
+    SF = "/root/testdata/sf0.001"
+    allr = R.q_quality_budget_select(spark, SF, token_budget=10**9).collect()
+    assert all(r.selected for r in allr)
+    few = R.q_quality_budget_select(spark, SF, token_budget=500).collect()
+    sel = [r for r in few if r.selected]
+    tot = sum(r.n_tokens for r in sel)
+    # selection stops at the first doc crossing the budget: under
+    # budget without the last pick, at-or-over with it
+    assert tot >= 500 or len(sel) == len(few)
+    assert tot - max(r.n_tokens for r in sel) < 500
+    # priority: every selected doc outranks every unselected one
+    lo = min((r.score, r.doc_id) for r in sel)
+    hi = max(((r.score, r.doc_id) for r in few if not r.selected),
+             default=None)
+    assert hi is None or hi[0] <= lo[0]
