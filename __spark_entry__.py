@@ -619,6 +619,8 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token-budget quality-first selection (histogram + boundary
         # stratum vs the oracle's single global window: same set)
         "quality_budget_select": R.q_quality_budget_select,
+        # host-frequency boilerplate line removal (RefinedWeb/Dolma)
+        "host_boilerplate_clean": R.q_host_boilerplate_clean,
     }
 
 
@@ -649,6 +651,7 @@ def aux_oracle_sql() -> dict[str, str]:
         "url_revisit": R.ORACLE_URL_REVISIT,
         "c4_line_clean": R.ORACLE_C4_LINE_CLEAN,
         "quality_budget_select": R.ORACLE_QUALITY_BUDGET,
+        "host_boilerplate_clean": R.ORACLE_HOST_BOILERPLATE,
     }
 
 

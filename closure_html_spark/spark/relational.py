@@ -4160,3 +4160,118 @@ FROM s ORDER BY doc_id
 
 
 ORACLE_QUALITY_BUDGET = _quality_budget_oracle_sql(20000)
+
+
+def q_host_boilerplate_clean(spark, sf_dir, threshold: float = 0.6):
+    """Host-frequency boilerplate removal -- strip lines that appear on
+    >= threshold of a host's pages (nav bars, copyright footers, cookie
+    banners that survive DOM-level extraction).  The line-prevalence
+    technique web-corpus pipelines run after main-content extraction.
+
+    Testdata text has no newlines, so each doc synthesizes a 4-line page
+    with known prevalence per rule: a unique content line (df 1/pages ->
+    kept), a sitewide nav line and a host-specific copyright line (df
+    1.0 -> removed; the copyright line's hash differs per host, pinning
+    per-host attribution), and a promo line on HALF of each host's
+    pages, keyed on floor(doc_id/50) parity -- doc_id parity itself
+    would be vacuous: hosts are doc_id % 50 and +50 preserves parity,
+    so a host's pages all share it (df 0 or 1); the floor key alternates
+    within a host, df = 0.5 < threshold -> kept, pinning the threshold
+    arithmetic (both engines evaluate n >= threshold * pages in IEEE
+    doubles).
+
+    Scale shape: the prevalence counts group (host, md5(line)) with
+    map-side partials; the boilerplate set (tiny: frequent lines per
+    host) broadcasts into a LEFT ANTI join against the exploded ids
+    frame, whose line-text column Catalyst prunes -- kept POSITIONS
+    (ints) aggregate per doc and the text moves ONCE, on the docs side
+    of the final doc_id join, rebuilt by index filter."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    host = (d % 50).cast("long")
+    content = F.concat(F.array_join(
+        F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " "), F.lit("."))
+    nav = F.lit("home | about | search")
+    cr = F.concat(F.lit("(c) 2026 host"), host.cast("string"),
+                  F.lit(".example"))
+    promo = F.when(F.floor(d / 50) % 2 == 0,
+                   F.lit("subscribe to our newsletter!"))
+    lines = F.array_compact(F.array(content, nav, cr, promo))
+    base = docs.select("doc_id", host.alias("host"),
+                       lines.alias("lines"))
+    ex = (base.select("doc_id", "host",
+                      F.posexplode("lines").alias("pos", "line"))
+          .withColumn("h", F.md5("line")))
+    pages = base.groupBy("host").agg(F.count(F.lit(1)).alias("pages"))
+    counts = ex.groupBy("host", "h").agg(
+        F.countDistinct("doc_id").alias("n"))
+    boiler = (counts.join(F.broadcast(pages), "host")
+              .filter(F.col("n") >= F.lit(threshold) * F.col("pages"))
+              .select("host", "h"))
+    kept = (ex.join(F.broadcast(boiler), ["host", "h"], "left_anti")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("pos")).alias("keep_pos")))
+    return (base.join(kept, "doc_id", "left")
+            .select(
+                "doc_id", "host",
+                F.size("lines").cast("long").alias("n_lines"),
+                (F.size("lines") - F.coalesce(
+                    F.size("keep_pos"), F.lit(0))).cast("long")
+                 .alias("n_boiler"),
+                F.array_join(F.filter(
+                    "lines",
+                    lambda x, i: F.array_contains(
+                        F.coalesce(F.col("keep_pos"),
+                                   F.array().cast("array<int>")), i)),
+                    "\n").alias("clean_text"))
+            .orderBy("doc_id"))
+
+
+def _host_boilerplate_oracle_sql(threshold):
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS host,
+    list_filter([
+      COALESCE(array_to_string(
+        regexp_split_to_array(trim(text), '\\s+')[1:8], ' '), '') || '.',
+      'home | about | search',
+      '(c) 2026 host' || CAST(doc_id % 50 AS VARCHAR) || '.example',
+      CASE WHEN (doc_id // 50) % 2 = 0 THEN 'subscribe to our newsletter!'
+           ELSE NULL END
+    ], x -> x IS NOT NULL) AS lines
+  FROM documents
+),
+ex AS (
+  -- DuckDB has no WITH ORDINALITY; the page has at most 4 lines
+  SELECT doc_id, host, g.i - 1 AS pos, lines[g.i] AS line
+  FROM base, (SELECT UNNEST(generate_series(1, 4)) AS i) g
+  WHERE g.i <= len(lines)
+),
+pages AS (SELECT host, COUNT(*) AS pages FROM base GROUP BY host),
+boiler AS (
+  SELECT c.host, c.line
+  FROM (SELECT host, line, COUNT(DISTINCT doc_id) AS n
+        FROM ex GROUP BY host, line) c
+  JOIN pages p ON c.host = p.host
+  WHERE c.n >= {threshold} * p.pages
+),
+kept AS (
+  SELECT e.doc_id, e.pos, e.line
+  FROM ex e ANTI JOIN boiler b
+    ON e.host = b.host AND e.line = b.line
+)
+SELECT b.doc_id, b.host,
+       CAST(len(b.lines) AS BIGINT) AS n_lines,
+       CAST(len(b.lines) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_boiler,
+       COALESCE(k.clean_text, '') AS clean_text
+FROM base b
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+) k ON b.doc_id = k.doc_id
+ORDER BY b.doc_id
+"""
+
+
+ORACLE_HOST_BOILERPLATE = _host_boilerplate_oracle_sql(0.6)
