@@ -621,6 +621,8 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_budget_select": R.q_quality_budget_select,
         # host-frequency boilerplate line removal (RefinedWeb/Dolma)
         "host_boilerplate_clean": R.q_host_boilerplate_clean,
+        # sitemap.xml ingest (crawl seeding; robots emits the pointers)
+        "sitemap_urls": R.q_sitemap_urls,
     }
 
 
@@ -652,6 +654,7 @@ def aux_oracle_sql() -> dict[str, str]:
         "c4_line_clean": R.ORACLE_C4_LINE_CLEAN,
         "quality_budget_select": R.ORACLE_QUALITY_BUDGET,
         "host_boilerplate_clean": R.ORACLE_HOST_BOILERPLATE,
+        "sitemap_urls": R.ORACLE_SITEMAP_URLS,
     }
 
 

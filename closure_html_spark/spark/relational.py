@@ -4275,3 +4275,49 @@ ORDER BY b.doc_id
 
 
 ORACLE_HOST_BOILERPLATE = _host_boilerplate_oracle_sql(0.6)
+
+
+def sitemap_urls(df, body_col: str = "sitemap"):
+    """Extract url entries from sitemap XML bodies (sitemaps.org
+    urlset/loc) -- the crawl-seeding companion to robots_directives'
+    Sitemap pointers.  Tolerant regex extraction (whitespace inside
+    <loc> per the spec's examples), pure codegen, map-side explode --
+    no shuffle; the frontier dedups/canonicalizes downstream with the
+    same ops as discovered links."""
+    locs = F.expr(
+        f"regexp_extract_all({body_col}, '<loc>\\\\s*([^<]+?)\\\\s*</loc>', 1)")
+    return (df.select("host", F.explode(locs).alias("url"))
+            .select("host", F.trim("url").alias("url")))
+
+
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap ingest over deterministic per-host sitemap.xml payloads:
+    each of the 50 hosts serves an urlset listing its pages (built with
+    collect_list on the tiny host side -- 50 rows), and the extractor
+    must recover exactly the (host, url) seed set."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host = (F.col("doc_id") % 50).cast("long")
+    url = F.concat(F.lit("https://host"), host.cast("string"),
+                   F.lit(".example/p"), F.col("doc_id").cast("string"))
+    entries = docs.select(
+        host.alias("host"),
+        F.concat(F.lit("<url><loc> "), url, F.lit(" </loc>"
+                 "<changefreq>daily</changefreq></url>")).alias("e"),
+        F.col("doc_id"))
+    sitemaps = (entries.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.array_join(F.array_sort(F.collect_list(
+                F.struct("doc_id", "e"))).getField("e"), ""),
+            F.lit("</urlset>")).alias("sitemap")))
+    return (sitemap_urls(sitemaps)
+            .orderBy("host", "url"))
+
+
+ORACLE_SITEMAP_URLS = """
+SELECT CAST(doc_id % 50 AS BIGINT) AS host,
+       'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example/p'
+         || CAST(doc_id AS VARCHAR) AS url
+FROM documents
+ORDER BY host, url
+"""
