@@ -623,6 +623,8 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate_clean": R.q_host_boilerplate_clean,
         # sitemap.xml ingest (crawl seeding; robots emits the pointers)
         "sitemap_urls": R.q_sitemap_urls,
+        # domain-suffix blocklist filter (UT1-style)
+        "url_blocklist": R.q_url_blocklist,
     }
 
 
@@ -655,6 +657,7 @@ def aux_oracle_sql() -> dict[str, str]:
         "quality_budget_select": R.ORACLE_QUALITY_BUDGET,
         "host_boilerplate_clean": R.ORACLE_HOST_BOILERPLATE,
         "sitemap_urls": R.ORACLE_SITEMAP_URLS,
+        "url_blocklist": R.ORACLE_URL_BLOCKLIST,
     }
 
 

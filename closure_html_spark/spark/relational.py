@@ -4321,3 +4321,66 @@ SELECT CAST(doc_id % 50 AS BIGINT) AS host,
 FROM documents
 ORDER BY host, url
 """
+
+
+def q_url_blocklist(spark, sf_dir,
+                    blocklist=("host7.example", "news.host3.example")):
+    """Domain-blocklist filtering (the UT1/adult-domain step every web
+    corpus runs): a url is blocked when ANY parent-domain suffix of its
+    host appears on the list, so 'm.news.host3.example' matches the rule
+    'news.host3.example' while 'cdn.host3.example' does not.
+
+    Scale shape: the host explodes into its <=depth domain suffixes
+    (bounded by label count, ~4 rows per url of a few dozen bytes) and
+    equi-joins the BROADCAST blocklist -- never a regex scan per rule,
+    never a cartesian; the verdict re-aggregates per doc with the
+    longest (most specific) matching rule, max(struct(len, rule)) --
+    deterministic.  Hosts synthesize with subdomain variety
+    (www/cdn/bare/m.news by doc_id%4) so suffix matching is
+    non-vacuous in both directions."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    h = (d % 50).cast("string")
+    sub = (F.when(d % 4 == 0, F.lit("www."))
+            .when(d % 4 == 1, F.lit("cdn."))
+            .when(d % 4 == 2, F.lit(""))
+            .otherwise(F.lit("m.news.")))
+    host = F.concat(sub, F.lit("host"), h, F.lit(".example"))
+    base = docs.select("doc_id", host.alias("host"))
+    parts = F.split("host", r"\.")
+    n = F.size(parts)
+    suffixes = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."))
+    ex = base.select("doc_id", "host",
+                     F.explode(suffixes).alias("suffix"))
+    rules = spark.createDataFrame([(r,) for r in blocklist],
+                                  "rule string")
+    hits = (ex.join(F.broadcast(rules),
+                    ex["suffix"] == rules["rule"])
+            .groupBy("doc_id")
+            .agg(F.max(F.struct(F.length("rule").alias("l"), "rule"))
+                  .getField("rule").alias("matched_rule")))
+    return (base.join(hits, "doc_id", "left")
+            .select("doc_id", "host",
+                    F.col("matched_rule").isNotNull().alias("blocked"),
+                    "matched_rule")
+            .orderBy("doc_id"))
+
+
+# closed form: host7.example blocks every subdomain variant of host 7;
+# news.host3.example blocks ONLY the m.news. variant (doc_id%4 == 3) of
+# host 3 -- cdn./www./bare host3 suffixes never contain it
+ORACLE_URL_BLOCKLIST = """
+SELECT doc_id,
+       (CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+             WHEN 2 THEN '' ELSE 'm.news.' END)
+         || 'host' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host,
+       (doc_id % 50 = 7) OR (doc_id % 50 = 3 AND doc_id % 4 = 3)
+         AS blocked,
+       CASE WHEN doc_id % 50 = 3 AND doc_id % 4 = 3
+              THEN 'news.host3.example'
+            WHEN doc_id % 50 = 7 THEN 'host7.example'
+            ELSE NULL END AS matched_rule
+FROM documents ORDER BY doc_id
+"""
