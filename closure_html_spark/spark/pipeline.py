@@ -49,14 +49,17 @@ _DEFAULT_COLS = tuple(k for k in RESULT_COL_DDL
                       if k not in ("links", "anchors", "base"))
 
 
-def _doc_links_base(doc) -> tuple[list[str], list[str], str | None]:
+def _doc_links_base(doc, want_anchors: bool = True) \
+        -> tuple[list[str], list[str], str | None]:
     """One full-DOM (pre)order walk collecting the crawl-frontier
     outlink feed (HREF values of <A> nodes in document order), the
     anchor text of each link (concatenated pcdata of the A subtree --
     the classic inbound-anchor relevance signal), and the document base
     URL (first BASE node's HREF -- the reference's own test fixture pins
     a BASE node in HEAD, test.lisp:5-18).  anchors[i] belongs to
-    links[i]; an A whose subtree has no pcdata yields ''."""
+    links[i]; an A whose subtree has no pcdata yields ''.  The per-A
+    subtree re-walk only runs when the caller asked for anchors -- the
+    streaming frontier's links/base projection must not pay it."""
     out = []
     anchors = []
     base = None
@@ -69,9 +72,10 @@ def _doc_links_base(doc) -> tuple[list[str], list[str], str | None]:
             for k, v in (attrs[n] or ()):
                 if k == "HREF" and v is not None:
                     out.append(v)
-                    anchors.append("".join(
-                        t for c, _ in doc.walk(n)
-                        if (t := text[c]) is not None))
+                    if want_anchors:
+                        anchors.append("".join(
+                            t for c, _ in doc.walk(n)
+                            if (t := text[c]) is not None))
                     break
         elif nm == "BASE" and base is None:
             for k, v in (attrs[n] or ()):
@@ -353,7 +357,8 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
                         title_v = text_v = ""
                         spans_v = ()
                     if need_links or need_anchors or need_base:
-                        links_v, anchors_v, base_v = _doc_links_base(doc)
+                        links_v, anchors_v, base_v = _doc_links_base(
+                            doc, want_anchors=need_anchors)
                     else:
                         links_v, anchors_v, base_v = (), (), None
                     nn, nw = len(doc.name), len(doc.warnings)

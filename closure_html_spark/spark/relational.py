@@ -1016,10 +1016,15 @@ def robots_rules(robots_df):
     # TRANSPARENT for group detection (RFC 9309 §2.2.1 permits them between
     # the user-agent lines of one group): drop them BEFORE the lag window,
     # so a UA line starts a new group only when the previous RETAINED line
-    # was a rule (or start of file)
+    # was a rule (or start of file).  Crawl-delay IS retained as a
+    # rule-type group member -- a UA line after it starts a NEW group --
+    # so this parser and robots_directives attribute the identical
+    # groups to the same file (pinned by
+    # test_robots.test_rules_and_directives_group_identically).
     parsed = lines.select("host", "pos", kind.alias("kind"),
                           value.alias("value")) \
-        .filter(F.col("kind").isin("user-agent", "allow", "disallow"))
+        .filter(F.col("kind").isin(
+            "user-agent", "allow", "disallow", "crawl-delay"))
     wseq = Window.partitionBy("host").orderBy("pos")
     is_ua = (F.col("kind") == "user-agent").cast("int")
     new_grp = ((is_ua == 1) &
@@ -1136,9 +1141,14 @@ def frontier_schedule(urls_df, directives_df, per_host_cap: int = 1000,
     skew guard.  Deterministic: slots order by url, ties impossible
     (urls pre-deduped by the frontier)."""
     w = Window.partitionBy("host").orderBy("url")
-    ranked = (urls_df.withColumn(
-        "slot", (F.row_number().over(w) - 1).cast("long"))
-        .filter(F.col("slot") < per_host_cap))
+    # filter on the RAW row_number: Spark's WindowGroupLimit pushdown
+    # only fires on a direct rank predicate -- filtering a derived
+    # (rn - 1).cast(long) column ranks ALL of a hot host's rows before
+    # dropping them (verified: no WindowGroupLimit node in that plan)
+    ranked = (urls_df.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= per_host_cap)
+              .withColumn("slot", (F.col("rn") - 1).cast("long"))
+              .drop("rn"))
     joined = ranked.join(
         F.broadcast(directives_df.select("host", "crawl_delay")),
         "host", "left")
@@ -2720,6 +2730,18 @@ GROUP BY doc_id ORDER BY doc_id
 # between "cleaned corpus" and "tokenizer-ready shards" in an LLM data
 # pipeline; neither exists in the reference -- pure training-data shell)
 
+def md5_shard(col, n):
+    """First 8 hex digits of md5(col) as a long, mod n -- THE
+    shard/sampling bucket hash.  q_corpus_sample, q_pack_sequences,
+    q_corpus_shuffle, and sinks.write_jsonl_sharded all route through
+    this single definition: the cross-operator layout guarantee (a
+    row's shard never changes between the sampler, the packer, the
+    shuffler, and the export files) is exactly the guarantee that
+    every caller shares one hash."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("long") % n)
+
+
 def q_corpus_sample(spark, sf_dir, rates=None, denom: int = 1000):
     """Deterministic stratified corpus sampling: keep a doc iff
     md5(doc_id) mod denom < rate(lang) -- the hash-threshold sampler
@@ -2736,8 +2758,7 @@ def q_corpus_sample(spark, sf_dir, rates=None, denom: int = 1000):
     portable-hash pattern)."""
     rates = rates if rates is not None else {"en": 600, "de": 300}
     docs = _t(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-               16, 10).cast("long") % denom
+    h = md5_shard(F.col("doc_id"), denom)
     rate = F.lit(0)
     for lang, r in sorted(rates.items()):
         rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
@@ -2785,8 +2806,7 @@ def q_pack_sequences(spark, sf_dir, budget: int = 512, n_shards: int = 8):
         F.size(F.split(F.trim("text"), r"\s+"))).cast("long")
     slim = docs.select(
         "doc_id",
-        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-                16, 10).cast("long") % n_shards).alias("shard"),
+        md5_shard(F.col("doc_id"), n_shards).alias("shard"),
         n_tok.alias("n_tokens"))
     w = Window.partitionBy("shard").orderBy("doc_id")
     cum = F.sum("n_tokens").over(w)
@@ -3888,10 +3908,10 @@ def q_corpus_shuffle(spark, sf_dir, n_shards: int = 8, seed: str = "s0"):
     the exchange.  At 10^12 docs n_shards grows to O(10^4) output
     shards so each per-shard sort stays executor-sized."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    h = F.md5(F.concat(F.lit(seed), F.lit(":"),
-                       F.col("doc_id").cast("string")))
-    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-             % n_shards)
+    key = F.concat(F.lit(seed), F.lit(":"),
+                   F.col("doc_id").cast("string"))
+    h = F.md5(key)
+    shard = md5_shard(key, n_shards)
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     return (docs.select("doc_id", h.alias("h"), shard.alias("shard"))
             .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))

@@ -17,16 +17,17 @@ def write_jsonl_sharded(df: DataFrame, path: str, n_shards: int = 8,
     """Write df as sharded JSONL: one `shard=K/` directory per shard,
     each row one JSON object line.
 
-    Scale shape: shard = md5(shard_key) mod n_shards -- the same
-    content-stable hash as q_corpus_sample / q_pack_sequences, so a
-    row's shard never changes across runs/retries/cluster sizes and
-    sequence packing's shard assignment (q_pack_sequences) matches the
-    file layout exactly.  `partitionBy` writes each shard from the
-    tasks that own its rows -- no global sort, no single-reducer
-    funnel; JSON encoding is the JVM `to_json`, not Python."""
-    shard = (F.conv(F.substring(
-        F.md5(F.col(shard_key).cast("string")), 1, 8), 16, 10)
-        .cast("long") % n_shards)
+    Scale shape: shard = md5_shard(shard_key, n_shards) -- the single
+    shared bucket hash (relational.md5_shard), so a row's shard never
+    changes across runs/retries/cluster sizes, and the layout matches
+    q_pack_sequences' assignment exactly WHEN called with the same
+    shard_key ("doc_id") and n_shards -- with a different key (e.g. the
+    extraction CLI's url) only the hashing scheme is shared, not the
+    assignment.  `partitionBy` writes each shard from the tasks that
+    own its rows -- no global sort, no single-reducer funnel; JSON
+    encoding is the JVM `to_json`, not Python."""
+    from .relational import md5_shard
+    shard = md5_shard(F.col(shard_key), n_shards)
     payload = F.to_json(F.struct(*[c for c in df.columns]))
     (df.select(shard.alias("shard"), payload.alias("value"))
      .repartition("shard")

@@ -133,3 +133,35 @@ def test_frontier_schedule(spark):
     qplan = plan._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in qplan
     assert "SortMergeJoin" not in qplan
+
+
+def test_rules_and_directives_group_identically(spark):
+    """Review finding (r6): a Crawl-delay line between two User-agent
+    runs must end the first group in BOTH parsers -- robots_rules used
+    to treat it as transparent and merged the runs, attributing agent
+    b's Disallow to '*'."""
+    robots = spark.createDataFrame([
+        ("x.example",
+         "User-agent: *\nCrawl-delay: 1\nUser-agent: b\n"
+         "Disallow: /secret\n"),
+    ], "host string, robots string")
+    rules = {(r.is_allow, r.prefix)
+             for r in R.robots_rules(robots).collect()}
+    # /secret belongs to b's group only; '*' has no rules at all
+    assert rules == set()
+    d = R.robots_directives(robots).collect()[0]
+    assert d.crawl_delay == 1.0  # and the delay stays with '*'
+
+
+def test_frontier_schedule_window_group_limit(spark):
+    """Review finding (r6): the per-host cap must reach Spark's
+    WindowGroupLimit pushdown (rank computed on at most cap+1 rows per
+    host) -- filtering a derived slot column defeats it and ranks every
+    row of a hot host."""
+    urls = spark.createDataFrame(
+        [("h", f"u{i}") for i in range(10)], "host string, url string")
+    robots = spark.createDataFrame([], "host string, robots string")
+    plan = R.frontier_schedule(urls, R.robots_directives(robots),
+                               per_host_cap=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -34,7 +34,10 @@ def main(argv=None):
     ap.add_argument("--export-jsonl", metavar="DIR", default=None,
                     help="additionally export the extracted corpus as "
                          "sharded JSONL (the trainer-facing boundary "
-                         "format; shard layout matches pack_sequences)")
+                         "format; shards by md5(url) -- the same hash "
+                         "scheme as pack_sequences, which shards by "
+                         "md5(doc_id): assignments agree only for equal "
+                         "shard_key and shard count)")
     ap.add_argument("--export-shards", type=int, default=64)
     args = ap.parse_args(argv)
 
@@ -44,12 +47,22 @@ def main(argv=None):
     from closure_html_spark.spark.pages import pages_from_documents
     from closure_html_spark.spark.streaming import stream_extract
 
+    def _export(out_df):
+        if not args.export_jsonl:
+            return None
+        from closure_html_spark.spark.sinks import write_jsonl_sharded
+        write_jsonl_sharded(
+            out_df.select("url", "title", "main_text"), args.export_jsonl,
+            n_shards=args.export_shards, shard_key="url")
+        return args.export_jsonl
+
     if args.streaming:
         q = stream_extract(spark, args.input, f"{args.output}/extracted",
                            f"{args.output}/_checkpoint", available_now=True)
         q.awaitTermination()
-        n = spark.read.parquet(f"{args.output}/extracted").count()
-        print(json.dumps({"mode": "streaming", "rows": n}))
+        out = spark.read.parquet(f"{args.output}/extracted")
+        print(json.dumps({"mode": "streaming", "rows": out.count(),
+                          "exported_jsonl": _export(out)}))
         return 0
 
     if args.input.startswith("synth:"):
@@ -63,20 +76,12 @@ def main(argv=None):
         spark, pages, args.output, n_buckets=args.buckets,
         group_size=args.group_size)
     out = spark.read.parquet(f"{args.output}/extracted")
-    n = out.count()
-    exported = None
-    if args.export_jsonl:
-        from closure_html_spark.spark.sinks import write_jsonl_sharded
-        write_jsonl_sharded(
-            out.select("url", "title", "main_text"), args.export_jsonl,
-            n_shards=args.export_shards, shard_key="url")
-        exported = args.export_jsonl
-    print(json.dumps({"mode": "batch", "rows": n,
+    print(json.dumps({"mode": "batch", "rows": out.count(),
                       "processed_buckets": len(res["processed"]),
                       "skipped_buckets": len(res["skipped"]),
                       "cleaned_partial": res["cleaned_partial"],
                       "run_id": res["run_id"],
-                      "exported_jsonl": exported}))
+                      "exported_jsonl": _export(out)}))
     return 0
 
 
