@@ -350,10 +350,16 @@ def main():
     # relational passes, rest probes) now goes to a committed sidecar
     # file; stdout ends with a COMPACT headline JSON line the driver can
     # always parse.
+    # non-default SF runs (smoke tests at sf0.01 etc.) get a suffixed
+    # sidecar so they can never clobber the committed sf0.1 protocol
+    # artifact the driver/judge read
+    default_name = ("BENCH_FULL.json" if SF_DIR.rstrip("/").endswith("sf0.1")
+                    else f"BENCH_FULL_{os.path.basename(SF_DIR.rstrip('/'))}"
+                         ".json")
     sidecar = os.environ.get(
         "SPARK_GRAFT_BENCH_SIDECAR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_FULL.json"))
+                     default_name))
     with open(sidecar, "w") as f:
         json.dump(result, f, indent=1)
         f.write("\n")
