@@ -625,6 +625,8 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": R.q_sitemap_urls,
         # domain-suffix blocklist filter (UT1-style)
         "url_blocklist": R.q_url_blocklist,
+        # per-language data-card report (one partial-agg pass)
+        "corpus_datasheet": R.q_corpus_datasheet,
     }
 
 
@@ -658,6 +660,7 @@ def aux_oracle_sql() -> dict[str, str]:
         "host_boilerplate_clean": R.ORACLE_HOST_BOILERPLATE,
         "sitemap_urls": R.ORACLE_SITEMAP_URLS,
         "url_blocklist": R.ORACLE_URL_BLOCKLIST,
+        "corpus_datasheet": R.ORACLE_CORPUS_DATASHEET,
     }
 
 

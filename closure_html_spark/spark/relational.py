@@ -4404,3 +4404,46 @@ SELECT doc_id,
             ELSE NULL END AS matched_rule
 FROM documents ORDER BY doc_id
 """
+
+
+def q_corpus_datasheet(spark, sf_dir):
+    """Per-language corpus datasheet -- the data-card numbers every
+    release ships (doc counts, token totals, length extremes, quality
+    pass rates): ONE partial-aggregating pass, one output row per
+    language, all-integer columns so the gate hashes exactly.
+
+    Scale shape: the canonical map-side-combine aggregation -- per-doc
+    signals (whitespace tokens, the Gopher-lite n_words >= 50 pass bit,
+    emptiness) are scan-partition column exprs; the exchange carries
+    one partial row per (partition, lang)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.when(F.length(F.trim("text")) == 0, F.lit(0)) \
+             .otherwise(F.size(F.split(F.trim("text"), r"\s+"))) \
+             .cast("long")
+    return (docs.select("lang", n_tok.alias("t"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("t").alias("total_tokens"),
+                 F.min("t").alias("min_tokens"),
+                 F.max("t").alias("max_tokens"),
+                 F.sum(F.when(F.col("t") == 0, 1).otherwise(0))
+                  .cast("long").alias("n_empty"),
+                 F.sum(F.when(F.col("t") >= 50, 1).otherwise(0))
+                  .cast("long").alias("n_quality_pass"))
+            .orderBy("lang"))
+
+
+ORACLE_CORPUS_DATASHEET = """
+WITH s AS (
+  SELECT lang,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         AS BIGINT) AS t
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(t) AS total_tokens,
+       MIN(t) AS min_tokens, MAX(t) AS max_tokens,
+       SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS n_empty,
+       SUM(CASE WHEN t >= 50 THEN 1 ELSE 0 END) AS n_quality_pass
+FROM s GROUP BY lang ORDER BY lang
+"""
