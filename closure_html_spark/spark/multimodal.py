@@ -103,44 +103,60 @@ def _fake_pixels(payload: bytes, w: int, h: int):
 
 
 RESIZED_SCHEMA = ("media_id long, doc_id long, out_w int, out_h int, "
-                  "mean_px double, resized_sha string")
+                  "mean_px double, resized_sha string, err string")
 
 
 def resize_media(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
     """mapInPandas resize stage: nearest-neighbor index-map resample of
     the decoded matrix to (out_w, out_h) -- REAL resize math over the
     deterministic fake decode; only the codec boundary is stubbed
-    (non-fake mimes raise at _decode boundary exactly like decode_media).
-    Output: per-media resized checksum + mean pixel -- the dedup/quality
-    signals an image pipeline derives from thumbnails."""
+    (non-fake mimes raise at the _decode boundary exactly like
+    decode_media -- a missing codec is a configuration error and must
+    stay loud).  Output: per-media resized checksum + mean pixel -- the
+    dedup/quality signals an image pipeline derives from thumbnails.
+
+    Per-row isolation (round-6 ADVICE): one row with degenerate meta
+    (width/height 0, missing n_frames, NULL fields) must not kill the
+    whole Arrow batch/stage -- data errors emit a marker row with
+    err='error:TypeName: msg' and NULL outputs, matching the
+    extract_pages never-kill-the-batch convention (pipeline.py:230)."""
     import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": pdf["media_id"], "doc_id": pdf["doc_id"],
                    "out_w": [], "out_h": [], "mean_px": [],
-                   "resized_sha": []}
+                   "resized_sha": [], "err": []}
             for mime, payload, meta in zip(pdf["mime"], pdf["payload"],
                                            pdf["meta"]):
                 if not mime.startswith("fake/"):
                     raise NotImplementedError(
                         f"codec for {mime!r} not bundled")
-                w, h = int(meta["width"]), int(meta["height"])
-                px = _fake_pixels(bytes(payload), w, h)
-                yi = (np.arange(out_h) * h) // out_h
-                xi = (np.arange(out_w) * w) // out_w
-                rs = px[yi][:, xi]
+                try:
+                    w, h = int(meta["width"]), int(meta["height"])
+                    if w <= 0 or h <= 0:
+                        raise ValueError(f"degenerate dims {w}x{h}")
+                    px = _fake_pixels(bytes(payload), w, h)
+                    yi = (np.arange(out_h) * h) // out_h
+                    xi = (np.arange(out_w) * w) // out_w
+                    rs = px[yi][:, xi]
+                    out["mean_px"].append(float(rs.mean()))
+                    out["resized_sha"].append(
+                        hashlib.sha256(rs.tobytes()).hexdigest())
+                    out["err"].append(None)
+                except Exception as exc:  # never kill the batch for one row
+                    out["mean_px"].append(None)
+                    out["resized_sha"].append(None)
+                    out["err"].append(f"error:{type(exc).__name__}: {exc}")
                 out["out_w"].append(out_w)
                 out["out_h"].append(out_h)
-                out["mean_px"].append(float(rs.mean()))
-                out["resized_sha"].append(
-                    hashlib.sha256(rs.tobytes()).hexdigest())
             yield pd.DataFrame(out)
 
     return df.mapInPandas(fn, RESIZED_SCHEMA)
 
 
-FRAMES_SCHEMA = "media_id long, doc_id long, frame_idx int, frame_sha string"
+FRAMES_SCHEMA = ("media_id long, doc_id long, frame_idx int, "
+                 "frame_sha string, err string")
 
 
 def frame_sample(df: DataFrame, every_k: int = 5) -> DataFrame:
@@ -148,24 +164,39 @@ def frame_sample(df: DataFrame, every_k: int = 5) -> DataFrame:
     index up to meta.n_frames, one OUTPUT ROW PER SAMPLED FRAME (the
     1->N batch-shape case the decode/resize stages don't exercise).
     Frame content is the deterministic fake digest of (payload, idx);
-    a real ffmpeg seek-and-decode drops into the same loop."""
+    a real ffmpeg seek-and-decode drops into the same loop.
+
+    Per-row isolation (round-6 ADVICE): degenerate meta (missing/NULL
+    n_frames) emits ONE marker row (frame_idx=-1, err set) instead of
+    killing the batch -- the extract_pages convention; the codec
+    boundary still raises loudly (configuration error)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"media_id": [], "doc_id": [], "frame_idx": [],
-                    "frame_sha": []}
+                    "frame_sha": [], "err": []}
             for mid, did, mime, payload, meta in zip(
                     pdf["media_id"], pdf["doc_id"], pdf["mime"],
                     pdf["payload"], pdf["meta"]):
                 if not mime.startswith("fake/"):
                     raise NotImplementedError(
                         f"codec for {mime!r} not bundled")
-                for idx in range(0, int(meta["n_frames"]), every_k):
+                try:
+                    # build first, append after: an exception can never
+                    # leave the column lists unbalanced
+                    frames = [(idx, hashlib.sha256(
+                        bytes(payload) + idx.to_bytes(4, "big")).hexdigest(),
+                        None)
+                        for idx in range(0, int(meta["n_frames"]), every_k)]
+                except Exception as exc:  # never kill the batch for one row
+                    frames = [(-1, None,
+                               f"error:{type(exc).__name__}: {exc}")]
+                for idx, sha, err in frames:
                     rows["media_id"].append(mid)
                     rows["doc_id"].append(did)
                     rows["frame_idx"].append(idx)
-                    rows["frame_sha"].append(hashlib.sha256(
-                        bytes(payload) + idx.to_bytes(4, "big")).hexdigest())
+                    rows["frame_sha"].append(sha)
+                    rows["err"].append(err)
             yield pd.DataFrame(rows)
 
     return df.filter(F.col("mime") == "fake/video").mapInPandas(

@@ -3295,11 +3295,16 @@ def q_bpe_merges(spark, sf_dir, n_merges: int = 8, top_words: int = 200):
     Semantics: symbols start as characters + a terminal '</w>'; the best
     pair maximizes summed within-word occurrence count (overlapping
     occurrences counted, weighted by word count), ties broken (left,
-    right) ascending; merge application is a single-pass non-overlapping
-    padded-string replace -- identical in Python and in the oracle's
-    REPLACE, and deviating from canonical BPE only on runs of a symbol
-    merged with itself (e.g. 'aaa' merges once, not twice; documented
-    deviation, pinned by the cross-engine gate)."""
+    right) ascending; merge application is a padded-string replace
+    applied TWICE (round-6 ADVICE): a single pass misses an adjacent
+    occurrence that shares one delimiter space with a replaced one
+    (' x y x y ' -> ' xy x y '), because the replacement consumes the
+    shared space; after one pass the remaining occurrences are never
+    adjacent (each miss sits immediately after a replacement), so the
+    second pass reaches the one-pair fixed point and the result equals
+    canonical greedy left-to-right BPE application ('aaa' merges once,
+    'x y x y' merges both).  Both passes are identical in Python and in
+    the oracle's nested REPLACE, pinned by the cross-engine gate."""
     out = _bpe_learn(_bpe_word_counts(spark, sf_dir, top_words), n_merges)
     return spark.createDataFrame(
         out, "step int, pair_left string, pair_right string, "
@@ -3331,7 +3336,10 @@ def _bpe_learn(wc_rows, n_merges: int):
                 counts[(l, r)] = counts.get((l, r), 0) + n
         (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         out.append((step, l, r, l + r, c))
-        words = [(sym.replace(f" {l} {r} ", f" {l}{r} "), n)
+        # two replace passes = one-pair fixed point (see q_bpe_merges
+        # docstring); mirrored by the oracle's nested REPLACE
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+        words = [(sym.replace(pat, rep).replace(pat, rep), n)
                  for sym, n in words]
     return out
 
@@ -3369,7 +3377,9 @@ m{i} AS (
   FROM p{i} ORDER BY c DESC, l, r LIMIT 1
 ),
 s{i + 1} AS (
-  SELECT REPLACE(sym, ' ' || m.l || ' ' || m.r || ' ',
+  SELECT REPLACE(REPLACE(sym, ' ' || m.l || ' ' || m.r || ' ',
+                         ' ' || m.l || m.r || ' '),
+                 ' ' || m.l || ' ' || m.r || ' ',
                  ' ' || m.l || m.r || ' ') AS sym, cnt
   FROM s{i} CROSS JOIN m{i} m
 )""")
@@ -3411,6 +3421,8 @@ def q_bpe_tokenize(spark, sf_dir, n_merges: int = 8, top_words: int = 200):
                    F.regexp_replace(F.col("word"), "(.)", "$1 "),
                    F.lit("</w> "))
     for _step, l, r, _m, _c in merges:
+        # double replace = one-pair fixed point (q_bpe_merges docstring)
+        sym = F.replace(sym, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
         sym = F.replace(sym, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
     n_tok = F.size(F.split(F.trim(sym), " "))
     return (exploded.select("doc_id", n_tok.alias("t"))
@@ -3429,8 +3441,9 @@ def _bpe_tokenize_oracle_sql(n_merges: int = 8, top_words: int = 200) -> str:
     ctes = base.split("\nSELECT CAST(step AS INT)")[0]
     expr = "s"
     for i in range(n_merges):
-        expr = (f"REPLACE({expr}, ' ' || m{i}.l || ' ' || m{i}.r || ' ', "
-                f"' ' || m{i}.l || m{i}.r || ' ')")
+        for _ in range(2):  # double replace = one-pair fixed point
+            expr = (f"REPLACE({expr}, ' ' || m{i}.l || ' ' || m{i}.r "
+                    f"|| ' ', ' ' || m{i}.l || m{i}.r || ' ')")
     crosses = " ".join(f"CROSS JOIN m{i} m{i}" for i in range(n_merges))
     return f"""{ctes},
 dw AS (
@@ -3578,30 +3591,40 @@ def q_ppl_buckets(spark, sf_dir, top_vocab: int = 500, k: float = 0.5):
     10^12 docs swap in approx_percentile -- a mergeable t-digest
     partial agg -- and the rest of the plan is unchanged) broadcast
     back over the scored frame; the label projection is map-side.
-    Output carries no floats, so the gate hashes exactly."""
+    Output carries no floats, but the labels depend on float ppl /
+    percentile values computed independently in Spark and DuckDB
+    (different summation order -> ULP drift), so a doc landing exactly
+    on a tertile cutoff could flip buckets (round-6 ADVICE).  Both
+    engines therefore quantize ppl AND the interpolated cutoffs to 6dp
+    before comparing -- the boundary comparison is then between two
+    identically quantized values."""
     scored = q_lm_perplexity(spark, sf_dir, top_vocab=top_vocab, k=k)
-    cuts = scored.agg(F.expr(
-        "percentile(ppl, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))"
-    ).alias("c"))
-    return (scored.crossJoin(F.broadcast(cuts))
+    rounded = scored.select("doc_id", F.round("ppl", 6).alias("rppl"))
+    cuts = rounded.agg(F.expr(
+        "transform(percentile(rppl, array(CAST(1 AS DOUBLE)/3, "
+        "CAST(2 AS DOUBLE)/3)), x -> round(x, 6))").alias("c"))
+    return (rounded.crossJoin(F.broadcast(cuts))
             .select("doc_id",
-                    F.when(F.col("ppl") <= F.col("c")[0], "head")
-                     .when(F.col("ppl") <= F.col("c")[1], "middle")
+                    F.when(F.col("rppl") <= F.col("c")[0], "head")
+                     .when(F.col("rppl") <= F.col("c")[1], "middle")
                      .otherwise("tail").alias("bucket"))
             .orderBy("doc_id"))
 
 
 ORACLE_PPL_BUCKETS = f"""
 WITH scored AS (SELECT * FROM ({ORACLE_LM_PERPLEXITY}) AS s),
+rounded AS (SELECT doc_id, ROUND(ppl, 6) AS rppl FROM scored),
 cuts AS (
-  SELECT quantile_cont(ppl, [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]) AS c
-  FROM scored
+  SELECT [ROUND(x, 6) FOR x IN
+          quantile_cont(rppl, [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3])]
+         AS c
+  FROM rounded
 )
 SELECT doc_id,
-       CASE WHEN ppl <= c[1] THEN 'head'
-            WHEN ppl <= c[2] THEN 'middle'
+       CASE WHEN rppl <= c[1] THEN 'head'
+            WHEN rppl <= c[2] THEN 'middle'
             ELSE 'tail' END AS bucket
-FROM scored CROSS JOIN cuts
+FROM rounded CROSS JOIN cuts
 ORDER BY doc_id
 """
 

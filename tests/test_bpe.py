@@ -1,5 +1,5 @@
 """BPE trainer semantics on a tiny known corpus, plus the pinned
-single-pass merge-application deviation on self-pair runs."""
+double-pass (one-pair fixed point) merge application semantics."""
 
 from closure_html_spark.spark import relational as R
 
@@ -63,14 +63,26 @@ def test_tokenize_oracle_sf0001(spark):
     assert (m.n_bpe_tokens_s == m.n_bpe_tokens_o).all()
 
 
-def test_self_pair_run_deviation(spark, tmp_path):
-    """Pinned deviation from canonical BPE: in 'aaaa' the single-pass
-    padded replace merges (a,a) ONCE per non-overlapping scan, leaving
-    [aa, a, a] (canonical BPE leaves [aa, aa]).  The pair COUNT is the
-    standard overlapping count (3 in 'aaaa').  Cross-engine identity of
-    this exact behavior is what the oracle gate pins."""
+def test_self_pair_run_canonical(spark, tmp_path):
+    """Self-pair runs under the double-pass replace match canonical
+    greedy BPE: 'aaaa' with pair (a,a) leaves [aa, aa, </w>] -- pass 1
+    merges the 1st occurrence (consuming the shared space), pass 2 the
+    remaining one.  The pair COUNT is the standard overlapping count
+    (3 in 'aaaa').  Cross-engine identity is what the oracle gate pins."""
     got = _merges(spark, tmp_path, ["aaaa"], 2)
     assert (got[0].pair_left, got[0].pair_right, got[0].pair_count) == ("a", "a", 3)
-    # step 2 sees symbols [aa, a, a, </w>]: pairs (aa,a), (a,a), (a,</w>)
-    # all count 1 -> tie-break picks (a,</w>) ('<' sorts before 'a')
-    assert (got[1].pair_left, got[1].pair_right) == ("a", "</w>")
+    # step 2 sees symbols [aa, aa, </w>]: pairs (aa,aa), (aa,</w>)
+    # both count 1 -> tie-break picks (aa,</w>) ('<' sorts before 'a')
+    assert (got[1].pair_left, got[1].pair_right) == ("aa", "</w>")
+
+
+def test_adjacent_pair_fixed_point(spark, tmp_path):
+    """Round-6 ADVICE: ' x y x y ' must merge BOTH occurrences -- the
+    single-pass replace consumed the shared delimiter space and left
+    the second occurrence unmerged.  The double pass reaches canonical
+    greedy application: 'xyxy' -> [xy, xy, </w>]."""
+    got = _merges(spark, tmp_path, ["xyxy"], 2)
+    assert (got[0].pair_left, got[0].pair_right, got[0].merged) == ("x", "y", "xy")
+    # after merging (x,y) TWICE, step 2 sees [xy, xy, </w>]:
+    # pairs (xy,xy) and (xy,</w>) count 1; '<' < 'a' so (xy,</w>) wins
+    assert (got[1].pair_left, got[1].pair_right) == ("xy", "</w>")

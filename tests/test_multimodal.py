@@ -55,6 +55,41 @@ def test_frame_sample_one_row_per_sampled_frame(spark):
         bytes(r0.payload) + (0).to_bytes(4, "big")).hexdigest()
 
 
+def test_degenerate_meta_isolated_per_row(spark):
+    """Round-6 ADVICE: one row with width/height 0 or NULL n_frames must
+    emit an error-marker row, not kill the whole Arrow batch -- the
+    extract_pages never-kill-the-batch convention."""
+    media = M.media_from_documents(spark, SF).limit(4)
+    bad = media.withColumn(
+        "meta",
+        M.F.when(
+            M.F.col("doc_id") == 1,
+            M.F.struct(M.F.lit(0).cast("int").alias("width"),
+                       M.F.lit(0).cast("int").alias("height"),
+                       M.F.lit(None).cast("int").alias("n_frames"),
+                       M.F.lit(16000).cast("int").alias("sample_rate")))
+        .otherwise(M.F.col("meta")))
+    got = M.resize_media(bad).toPandas().set_index("doc_id")
+    assert len(got) == 4  # every row survives
+    assert got.loc[1].err is not None and "error:" in got.loc[1].err
+    assert got.loc[1].resized_sha is None
+    ok = got.drop(index=1)
+    assert ok.err.isna().all() and ok.resized_sha.notna().all()
+
+    vids = bad.filter("mime = 'fake/video'")  # doc_id 2 (healthy) only
+    frames = M.frame_sample(vids).toPandas()
+    assert (frames.err.isna()).all()
+    # now break the video row's n_frames: one marker row, batch survives
+    broken = vids.withColumn(
+        "meta", M.F.struct(
+            M.F.col("meta.width"), M.F.col("meta.height"),
+            M.F.lit(None).cast("int").alias("n_frames"),
+            M.F.col("meta.sample_rate")))
+    got2 = M.frame_sample(broken).toPandas()
+    assert len(got2) == 1 and got2.iloc[0].frame_idx == -1
+    assert "error:" in got2.iloc[0].err
+
+
 def test_real_codec_honestly_stubbed(spark):
     """A non-fake mime must fail loudly at the codec boundary, not
     silently fake-decode."""
