@@ -451,6 +451,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     had a driver-green row are registered FIRST as defense in depth
     against any future window shrink."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- never driver-verified before round 7 ---
+        # host-frequency boilerplate line removal (RefinedWeb/Dolma; the
+        # north_rule's "HTML boilerplate strip" leg) -- promoted round 7
+        # into the slot freed by demoting the O(N^2) embedding_neardup
+        # exact baseline to aux (round-6 verdict #1)
+        "host_boilerplate_clean": R.q_host_boilerplate_clean,
         # --- never driver-verified before round 6 (new or past-window) ---
         # one wide extraction gate: title/text/main/spans in one pass
         "extract_doc": _q_extract_doc,
@@ -494,9 +500,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # href machinery stays gated via extract_variants AND this)
         "anchor_text": _q_anchor_text,
         "simhash": R.q_simhash,
-        # EXACT O(N^2) baseline -- gate/recall reference ONLY, never the
-        # scale path (use embedding_neardup_lsh at any real corpus size)
-        "embedding_neardup": R.q_embedding_neardup,
+        # (embedding_neardup -- the EXACT O(N^2) crossJoin baseline --
+        # demoted to aux round 7: the one non-scale-safe plan is no
+        # longer invokable from the driver window; its oracle survives
+        # in aux and it remains the LSH twin's recall reference)
         # index-sizing params PINNED to the static oracle constants
         # (band_bits=4 / n_cells=16): the queries self-size from table
         # stats by default, but the gate must replay identically on ANY
@@ -625,8 +632,10 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token-budget quality-first selection (histogram + boundary
         # stratum vs the oracle's single global window: same set)
         "quality_budget_select": R.q_quality_budget_select,
-        # host-frequency boilerplate line removal (RefinedWeb/Dolma)
-        "host_boilerplate_clean": R.q_host_boilerplate_clean,
+        # (host_boilerplate_clean promoted to the driver gate round 7)
+        # EXACT O(N^2) crossJoin baseline, demoted from the gate round 7
+        # (round-6 verdict #1): recall reference for the LSH twin only
+        "embedding_neardup": R.q_embedding_neardup,
         # sitemap.xml ingest (crawl seeding; robots emits the pointers)
         "sitemap_urls": R.q_sitemap_urls,
         # domain-suffix blocklist filter (UT1-style)
@@ -663,7 +672,7 @@ def aux_oracle_sql() -> dict[str, str]:
         "url_revisit": R.ORACLE_URL_REVISIT,
         "c4_line_clean": R.ORACLE_C4_LINE_CLEAN,
         "quality_budget_select": R.ORACLE_QUALITY_BUDGET,
-        "host_boilerplate_clean": R.ORACLE_HOST_BOILERPLATE,
+        "embedding_neardup": R.ORACLE_EMBEDDING_NEARDUP,
         "sitemap_urls": R.ORACLE_SITEMAP_URLS,
         "url_blocklist": R.ORACLE_URL_BLOCKLIST,
         "corpus_datasheet": R.ORACLE_CORPUS_DATASHEET,
@@ -796,7 +805,7 @@ FROM p ORDER BY doc_id, rep
         "decontaminate": R.ORACLE_DECONTAMINATE,
         "corpus_sample": R.ORACLE_CORPUS_SAMPLE,
         "pack_sequences": R.ORACLE_PACK_SEQUENCES,
-        "embedding_neardup": R.ORACLE_EMBEDDING_NEARDUP,
+        "host_boilerplate_clean": R.ORACLE_HOST_BOILERPLATE,
         # the LSH oracles replay the md5-derived hyperplane sign matrix
         # bit-for-bit (constants baked into both plans); band_bits=4 in the
         # oracle matches lsh_band_bits(500) at the driver's sf0.01 gate

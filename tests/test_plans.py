@@ -237,19 +237,21 @@ def test_pack_sequences_text_never_shuffles(spark):
 
 def test_registry_wide_plan_discipline(spark):
     """Sweep EVERY driver-gated queries() entry's executed plan: no
-    row-at-a-time Python UDF (BatchEvalPython) anywhere, and cartesian /
-    nested-loop joins only in the three documented baselines --
-    embedding_neardup (exact O(N^2) reference) and the two exact-ANN
-    queries whose broadcast side is the tiny literal query set.  Any new
-    registry entry that regresses to a Python UDF or an accidental
-    cartesian fails here before the driver ever sees it."""
+    row-at-a-time Python UDF (BatchEvalPython) anywhere, NO
+    CartesianProduct anywhere (round-7: the O(N^2) embedding_neardup
+    exact baseline now lives in aux, so the driver window contains zero
+    all-pairs plans), and BroadcastNestedLoopJoin only in the two
+    exact-ANN baselines whose broadcast side is the tiny literal query
+    set.  Any new registry entry that regresses to a Python UDF or an
+    accidental cartesian fails here before the driver ever sees it."""
     import __spark_entry__ as entry_mod
-    nested_ok = {"embedding_neardup", "ann_cosine_topk", "ann_ivf_topk"}
+    bnlj_ok = {"ann_cosine_topk", "ann_ivf_topk"}
     offenders = {}
     for name, fn in entry_mod.queries().items():
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         marks = [m for m in ("BatchEvalPython", "CartesianProduct",
                              "BroadcastNestedLoopJoin") if m in plan]
-        if "BatchEvalPython" in marks or (marks and name not in nested_ok):
+        if ("BatchEvalPython" in marks or "CartesianProduct" in marks
+                or (marks and name not in bnlj_ok)):
             offenders[name] = marks
     assert not offenders, offenders
