@@ -27,6 +27,7 @@ from closure_html_spark.spark.pages import (
     ORACLE_TITLE,
     ORACLE_VARIANT_NSPANS,
     ORACLE_VARIANT_PREFIX,
+    hostile_pages_from_documents,
     pages_from_documents,
 )
 from closure_html_spark.spark.multimodal import (
@@ -218,6 +219,59 @@ def _q_extract_variants(spark, sf_dir):
         F.size("links").cast("long").alias("n_links"),
         F.array_join(F.array_sort("links"), ",").alias("hrefs"))
         .orderBy("doc_id", "rep"))
+
+
+def _q_extract_hostile(spark, sf_dir):
+    """ADVERSARIAL parser corpus under the hard gate (round-6 verdict
+    #2): five hostile template families (deep unclosed nesting, pcdata
+    flood, entity bomb, ##BAD TAG## storm, charset lie -- see
+    hostile_pages_from_documents) replayed through the full
+    parse+repair+extract pipeline.  Each family's REPAIRED extraction
+    output is a closed-form SQL function of `documents` (constants
+    measured against the parser), so the oracle pins the repaired text
+    digest + length, span count, warning count, and the re-decoded
+    charset label per page.  The flood rows are ~30 KB each, so the
+    compare ships md5+length instead of raw text."""
+    pages = hostile_pages_from_documents(spark, sf_dir)
+    ext = extract_pages(pages, id_cols=("doc_id",),
+                        columns=("extracted_text", "spans", "n_warns",
+                                 "charset"))
+    return (ext.select(
+        "doc_id", (F.col("doc_id") % 5).alias("tpl"),
+        F.md5("extracted_text").alias("text_md5"),
+        F.length("extracted_text").alias("text_len"),
+        F.size("spans").alias("n_spans"), "n_warns", "charset")
+        .orderBy("doc_id"))
+
+
+# Closed forms measured against the parser (see hostile_pages_from_-
+# documents docstring): tpl0 = payload under 200 auto-closed divs,
+# tpl1 = payload x64, tpl2 = '&'x1000 || 'A'x200 || payload (entities
+# decoded), tpl3 = '<3 'x500 || payload (each '<3 ' a level-3 bad-tag
+# warn kept as pcdata), tpl4 = 'xÂ©y' || payload (UTF-8 bytes of (c)
+# re-decoded as the lying iso-8859-1).  tpl0/tpl1 have zero spans when
+# the payload is empty; the bomb/storm/lie constants guarantee one span
+# otherwise.
+ORACLE_EXTRACT_HOSTILE = """
+WITH h AS (
+  SELECT doc_id, doc_id % 5 AS tpl,
+         CASE doc_id % 5
+           WHEN 0 THEN text
+           WHEN 1 THEN repeat(text, 64)
+           WHEN 2 THEN repeat('&', 1000) || repeat('A', 200) || text
+           WHEN 3 THEN repeat('<3 ', 500) || text
+           ELSE 'xÂ©y' || text
+         END AS et
+  FROM documents
+)
+SELECT doc_id, tpl, md5(et) AS text_md5,
+       CAST(LENGTH(et) AS INT) AS text_len,
+       CAST(CASE WHEN tpl IN (0, 1) AND LENGTH(et) = 0 THEN 0 ELSE 1 END
+            AS INT) AS n_spans,
+       CAST(CASE WHEN tpl = 3 THEN 500 ELSE 0 END AS INT) AS n_warns,
+       CASE WHEN tpl = 4 THEN 'latin-1' ELSE 'utf-8' END AS charset
+FROM h ORDER BY doc_id
+"""
 
 
 def _q_bookmarks(spark, sf_dir):
@@ -457,6 +511,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # into the slot freed by demoting the O(N^2) embedding_neardup
         # exact baseline to aux (round-6 verdict #1)
         "host_boilerplate_clean": R.q_host_boilerplate_clean,
+        # adversarial parser corpus (round-6 verdict #2): deep nesting /
+        # pcdata flood / entity bomb / bad-tag storm / charset lie, all
+        # closed-form oracled (string_datetime demoted to aux for the
+        # slot; its string/datetime machinery stays gated via
+        # sessionize + url_canonical)
+        "extract_hostile": _q_extract_hostile,
         # --- never driver-verified before round 6 (new or past-window) ---
         # one wide extraction gate: title/text/main/spans in one pass
         "extract_doc": _q_extract_doc,
@@ -534,8 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window_user_events likewise demoted late round 6 -- the window
         # capability stays gated via sessionize)
         "sessionize": R.q_sessionize,
-        # (set_ops demoted to aux round 6 to make room; r2+ green)
-        "string_datetime": R.q_string_datetime,
+        # (set_ops demoted to aux round 6 to make room; r2+ green;
+        # string_datetime demoted round 7 for extract_hostile)
         # --- training-data ops ---
         "dedup_exact": R.q_dedup_exact,
         # realistic C4-style span length (round-3 verdict #7: 3 words is a
@@ -610,6 +670,9 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_est_pairs": R.q_minhash_est_pairs,
         "set_ops": R.q_set_ops,
         "order_priority": R.q_order_priority,
+        # demoted r7 for extract_hostile (string fns stay driver-gated
+        # via url_canonical, datetime via sessionize)
+        "string_datetime": R.q_string_datetime,
         # demoted late r6 for repeated_span_clean (window capability
         # stays driver-gated via sessionize)
         "window_user_events": R.q_window_user_events,
@@ -658,6 +721,7 @@ def aux_oracle_sql() -> dict[str, str]:
         "minhash_est_pairs": R.ORACLE_MINHASH_EST,
         "set_ops": R.ORACLE_SET_OPS,
         "order_priority": R.ORACLE_ORDER_PRIORITY,
+        "string_datetime": R.ORACLE_STRING_DATETIME,
         "window_user_events": R.ORACLE_WINDOW,
         "extract_links": (
             "SELECT doc_id, CAST(3 AS BIGINT) AS n_links, "
@@ -779,7 +843,7 @@ FROM p ORDER BY doc_id, rep
         "bpe_merges": R.ORACLE_BPE_MERGES,
         "repeated_span_clean": R.ORACLE_REPEATED_SPAN_CLEAN,
         "sessionize": R.ORACLE_SESSIONIZE,
-        "string_datetime": R.ORACLE_STRING_DATETIME,
+        "extract_hostile": ORACLE_EXTRACT_HOSTILE,
         "quality_classifier": R.ORACLE_QUALITY_CLASSIFIER,
         "dedup_exact": R.ORACLE_DEDUP_EXACT,
         "paragraph_dedup_50": R.ORACLE_PARAGRAPH_DEDUP_50,

@@ -117,6 +117,57 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
     )
 
 
+_HOSTILE_HEAD = "<html><head><title>H</title></head><body>"
+_META_LIE = ('<html><head><meta http-equiv=Content-Type '
+             'content="text/html; charset=iso-8859-1">'
+             '<title>H</title></head><body><p>x©y')
+
+
+def hostile_pages_from_documents(spark: SparkSession, sf_dir: str,
+                                 deep: int = 200, flood: int = 64,
+                                 amp: int = 1000, achr: int = 200,
+                                 bad: int = 500) -> DataFrame:
+    """The ADVERSARIAL page corpus (round-6 verdict #2): five hostile
+    template families cycling on doc_id % 5, each stressing a different
+    repair surface while keeping the REPAIRED extraction output a
+    closed-form SQL function of `documents`:
+
+      h0  deep nesting -- `deep` unclosed <div>s wrapping the payload;
+          the PDA must auto-close the whole chain at EOF
+      h1  pcdata flood -- the payload repeated `flood` times inside ONE
+          <p> on one line (the 1 MB-single-line shape, scaled)
+      h2  entity bomb -- `amp` chained &amp; + `achr` chained &#65;
+          ahead of the payload (entity machine stress)
+      h3  ##BAD TAG## storm -- `bad` repetitions of '<3 ' (bad char
+          after '<', level-3 warn each, '<3 ' kept as pcdata)
+      h4  charset lie -- <meta> claims iso-8859-1 over UTF-8 bytes;
+          the two-phase re-decode must relabel and re-decode, turning
+          the UTF-8 (c) sign (0xC2 0xA9) into 'Â©'
+
+    Every template ends WITHOUT its closing tags (EOF repair on every
+    row).  Synthesis is pure JVM expressions like pages_from_documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    esc_text = _esc(F.col("text"))
+    h = F.col("doc_id") % 5
+    t0 = F.concat(F.lit(_HOSTILE_HEAD + "<div>" * deep + "<p>"), esc_text)
+    t1 = F.concat(F.lit(_HOSTILE_HEAD + "<p>"), F.repeat(esc_text, flood))
+    t2 = F.concat(F.lit(_HOSTILE_HEAD + "<p>" + "&amp;" * amp
+                        + "&#65;" * achr), esc_text)
+    t3 = F.concat(F.lit(_HOSTILE_HEAD + "<p>" + "<3 " * bad), esc_text)
+    t4 = F.concat(F.lit(_META_LIE), esc_text)
+    html = (F.when(h == 0, t0).when(h == 1, t1).when(h == 2, t2)
+            .when(h == 3, t3).otherwise(t4))
+    url = F.concat(F.lit("https://hostile.example/p"),
+                   F.col("doc_id").cast("string"))
+    return docs.select(
+        url.alias("url"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) +
+         F.make_interval(secs=F.col("doc_id"))).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"),
+    )
+
+
 # Oracle-side SQL fragments (DuckDB) matching template 0 -- kept next to the
 # template so they evolve together.
 ORACLE_EXTRACTED_TEXT = "'home about' || text || 'contact © 2026'"
