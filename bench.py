@@ -167,6 +167,79 @@ def run_extraction(n_threads: int) -> dict:
             "hw_speed": hw}
 
 
+def run_skew_leg(n_threads: int) -> dict:
+    """Zipf-host skew fixture (round-6 verdict #3; north_rule names
+    salted repartitioning for skewed hosts): the synthesized corpus puts
+    ~30% of pages on host0, so an extraction stage partitioned BY HOST
+    (per-host outputs, politeness batching) serializes a third of the
+    work on one core.  Measure the same extract job over (a) a plain
+    repartition(host) and (b) salt_skewed + repartition(host, salt),
+    ABBA order, min-of-2 per config.
+
+    AQE interaction (measured note): AQE's skew handling splits skewed
+    partitions only for sort-merge JOIN stages and for REBALANCE hints
+    -- an explicit repartition(key) is a user-specified distribution
+    that AQE must respect, so salting is the correct (and only) lever
+    for skewed explicit partitioning; parse/extract has no key-locality
+    requirement, so salting is always safe here (lineage.py)."""
+    from closure_html_spark.spark.lineage import salt_skewed
+    time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "20")))
+    spark = get_spark(app=f"bench-skew-n{n_threads}",
+                      master=f"local[{n_threads}]",
+                      shuffle_partitions=max(n_threads, 8))
+    n_parts = max(2 * n_threads, 16)
+    pages = pages_from_documents(spark, SF_DIR, tile=TILE, variants=4,
+                                 heavy=HEAVY)
+    pages = pages.withColumn(
+        "url_host",
+        F.regexp_extract("url", r"https://([^/]+)/", 1)).cache()
+    n_docs = pages.count()
+
+    def _warm(batches):
+        import time as _t
+
+        import pandas as _pd
+
+        from closure_html_spark.dtd import load_dtd as _ld
+        _ld()
+        _t.sleep(1.5)
+        for _ in batches:
+            pass
+        yield _pd.DataFrame({"n": [1]})
+
+    spark.range(n_threads).repartition(n_threads) \
+        .mapInPandas(_warm, "n int").agg(F.count(F.lit(1))).collect()
+
+    # hot-host detection is an eager stats pass (counts + quantile);
+    # timed separately -- production amortizes it per run, not per stage
+    t0 = time.time()
+    salted = salt_skewed(pages, key="url_host", n_salt=8)
+    salt_prep = round(time.time() - t0, 3)
+
+    plans = {
+        "unsalted": pages.repartition(n_parts, "url_host"),
+        "salted": salted.repartition(n_parts, "url_host", "salt"),
+    }
+
+    def one(df) -> float:
+        t0 = time.time()
+        ext = extract_pages(df, id_cols=("url",))
+        ext.agg(F.sum(F.length("extracted_text")),
+                F.sum(F.size("spans"))).collect()
+        return round(time.time() - t0, 3)
+
+    walls: dict[str, list[float]] = {"unsalted": [], "salted": []}
+    for name in ("unsalted", "salted", "salted", "unsalted"):  # ABBA
+        walls[name].append(one(plans[name]))
+    spark.stop()
+    u, s = min(walls["unsalted"]), min(walls["salted"])
+    return {"threads": n_threads, "n_docs": int(n_docs),
+            "n_partitions": n_parts, "salt_prep_sec": salt_prep,
+            "unsalted_wall_sec": u, "salted_wall_sec": s,
+            "speedup": round(u / s, 3) if s else None,
+            "wall_samples": walls}
+
+
 def _run_leg_subprocess(n: int) -> dict:
     """Each parallelism level runs in a FRESH python+JVM subprocess:
     reusing one JVM across stop()/getOrCreate() cycles degrades later
@@ -180,9 +253,37 @@ def _run_leg_subprocess(n: int) -> dict:
     return json.loads(line)
 
 
+def _prior_envelope(sidecar: str) -> dict:
+    """Per-query wall envelope [min, max] from the PREVIOUS committed
+    sidecar (round-6 verdict #8): this VM's same-code spread is up to
+    ~2x (BASELINE.md round-6 measured six back-to-back sessionize runs
+    spanning 2.1x), so a regression flag against a single prior point
+    generates a false adjudication nearly every round.  The envelope
+    pools every recorded sample for a query -- both relational passes
+    plus the selected min, and the extraction legs' wall_samples."""
+    try:
+        with open(sidecar) as f:
+            prior = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    samples: dict[str, list[float]] = {}
+    for name, vals in (prior.get("queries_passes") or {}).items():
+        samples.setdefault(name, []).extend(vals)
+    for name, w in (prior.get("queries") or {}).items():
+        samples.setdefault(name, []).append(w)
+    for leg in (prior.get("scaling") or {}).get("legs", []):
+        name = f"extract_n{leg['threads']}"
+        samples.setdefault(name, []).extend(leg.get("wall_samples") or [])
+    return {n: [min(v), max(v)] for n, v in samples.items() if v}
+
+
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
         print(json.dumps(run_extraction(int(sys.argv[2]))))
+        return 0
+    if len(sys.argv) >= 2 and sys.argv[1] == "--skew":
+        print(json.dumps(run_skew_leg(
+            int(sys.argv[2]) if len(sys.argv) >= 3 else CPUS)))
         return 0
 
     timings: dict[str, float] = {}
@@ -280,6 +381,17 @@ def main():
              "hw_speed": leg["hw_speed"]} for leg in ordered]
         result["scaling"] = scaling
 
+    if os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0":
+        import subprocess
+        out = subprocess.run(
+            [sys.executable, __file__, "--skew", str(CPUS)],
+            capture_output=True, text=True, timeout=580,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+        skew = json.loads(out.stdout.strip().splitlines()[-1])
+        result["skew"] = skew
+        timings["skew_extract_unsalted"] = skew["unsalted_wall_sec"]
+        timings["skew_extract_salted"] = skew["salted_wall_sec"]
+
     time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "20")))
     spark = get_spark(app="bench-rel", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
@@ -344,6 +456,27 @@ def main():
     result["queries_passes"] = passes
     result["value"] = round(sum(timings.values()), 3)
 
+    # same-code envelope check against the PREVIOUS committed sidecar:
+    # a query is flagged only when this run's SELECTED wall (min over
+    # passes) exceeds the prior round's full recorded spread (+10%
+    # measurement slack), not its single best point -- kills the
+    # recurring false-regression adjudication (sessionize r5,
+    # minhash_bands r6)
+    prior_env = {}
+    prior_sidecar = os.environ.get("SPARK_GRAFT_BENCH_PRIOR")
+    if prior_sidecar is None:
+        prior_sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    if SF_DIR.rstrip("/").endswith("sf0.1") or \
+            os.environ.get("SPARK_GRAFT_BENCH_PRIOR"):
+        prior_env = _prior_envelope(prior_sidecar)
+    regressions = {
+        name: {"wall_sec": w, "prior_envelope": prior_env[name]}
+        for name, w in timings.items()
+        if name in prior_env and w > prior_env[name][1] * 1.10}
+    result["prior_envelope"] = prior_env
+    result["regressions"] = regressions
+
     # Round-5 lesson (VERDICT wrong #4): the full result line outgrew the
     # driver's tail capture and BENCH_r05 recorded "parsed": null.  The
     # auditable spread (legs, wall samples, adjacent-pair lists, both
@@ -368,6 +501,12 @@ def main():
                ("metric", "value", "unit", "sf", "docs_per_sec",
                 "mb_per_sec", "n_docs", "avg_doc_bytes") if k in result}
     compact["queries"] = timings
+    compact["regressions"] = {n: v["wall_sec"]
+                              for n, v in regressions.items()}
+    if "skew" in result:
+        compact["skew"] = {k: result["skew"][k] for k in
+                           ("unsalted_wall_sec", "salted_wall_sec",
+                            "speedup")}
     if "scaling" in result:
         sc = result["scaling"]
         compact["scaling"] = {

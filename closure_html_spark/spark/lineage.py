@@ -50,19 +50,35 @@ def completed_buckets(spark: SparkSession, output_dir: str) -> set[int]:
 
 
 def salt_skewed(df: DataFrame, key: str = "url_host",
-                skew_factor: float = 4.0, n_salt: int = 8) -> DataFrame:
+                skew_factor: float = 4.0, n_salt: int = 8,
+                max_literal_keys: int = 1000) -> DataFrame:
     """Add a `salt` column: 0 for normal keys, 0..n_salt-1 (hash-derived,
     deterministic) for keys whose frequency exceeds skew_factor x median.
-    Callers repartition on (key, salt) to split hot keys."""
+    Callers repartition on (key, salt) to split hot keys.
+
+    Hot-key detection is eager either way (approxQuantile runs a job),
+    so the hot set is materialized ONCE here instead of re-running the
+    corpus-wide groupBy lazily inside every downstream stage (measured:
+    the recompute erased the salting win on the skew bench leg).  Up to
+    `max_literal_keys` hot keys ride the plan as an isin literal (pure
+    map-side, no join); a pathologically flat distribution beyond that
+    falls back to a broadcast semi-structure.  Hot keys are >
+    skew_factor x median by definition, so the count is bounded by
+    N_rows / (skew_factor * median) -- small for any Zipf-like corpus."""
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("_cnt"))
     median = counts.approxQuantile("_cnt", [0.5], 0.01)[0] or 1.0
-    hot = counts.filter(F.col("_cnt") > skew_factor * median) \
-                .select(key).withColumn("_hot", F.lit(True))
+    hot_df = counts.filter(F.col("_cnt") > skew_factor * median).select(key)
+    hot_keys = [r[0] for r in hot_df.limit(max_literal_keys + 1).collect()]
+    salted = F.pmod(F.xxhash64("url"), F.lit(n_salt)).cast("int")
+    if len(hot_keys) <= max_literal_keys:
+        is_hot = F.col(key).isin(hot_keys) if hot_keys else F.lit(False)
+        return df.withColumn(
+            "salt", F.when(is_hot, salted).otherwise(F.lit(0)))
+    hot = hot_df.withColumn("_hot", F.lit(True))
     return (df.join(F.broadcast(hot), key, "left")
             .withColumn(
                 "salt",
-                F.when(F.col("_hot").isNotNull(),
-                       F.pmod(F.xxhash64("url"), F.lit(n_salt)).cast("int"))
+                F.when(F.col("_hot").isNotNull(), salted)
                  .otherwise(F.lit(0)))
             .drop("_hot"))
 
