@@ -763,11 +763,18 @@ def _remove_pt(doc: Doc, nid: int):
 
 def map_htag_pairs(doc: Doc, continuation, gi: str = "FONT"):
     """Pre-order pairing of HSTAG/HETAG markers, inner pairs first
-    (map-htag-pairs, sgml-parse.lisp:1558-1586)."""
+    (map-htag-pairs, sgml-parse.lisp:1558-1586).  Iterative with an
+    explicit stack (round-6 verdict #5: the recursive form unified with
+    Doc.walk's iterative idiom -- a 1000+-deep repaired tree must not
+    hit the Python recursion limit in font_htag mode); like the
+    recursive original, a node's children are snapshotted before any
+    continuation mutation can reparent them, and marker nodes are not
+    descended into."""
     stack: list[int] = []
     markers = doc.markers
-
-    def walk(x: int):
+    todo: list[int] = [doc.root]
+    while todo:
+        x = todo.pop()
         m = markers.get(x)
         if m == "S" and doc.name[x] == gi:
             stack.append(x)
@@ -778,10 +785,7 @@ def map_htag_pairs(doc: Doc, continuation, gi: str = "FONT"):
             else:
                 continuation(stack.pop(), x)
         else:
-            for k in list(doc.children[x]):
-                walk(k)
-
-    walk(doc.root)
+            todo.extend(reversed(doc.children[x]))
     if stack:
         doc.warnings.append((4, f"Unclosed {gi} elements."))
         new = []
