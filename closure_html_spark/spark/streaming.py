@@ -175,10 +175,19 @@ def stream_dedup(pages: DataFrame, key_col: str = "url",
     columns BEFORE the stateful operator), so state is m_bits/8 bytes per
     group forever -- an exact-set state would grow 8 bytes per unique key
     (8 TB at 10^12 urls).  The trade is a bounded false-drop rate:
-    (1-exp(-4n/m))^4 per new key after n uniques in a group (~0.2% at
-    n = m/16; size m_bits to the expected uniques).  The Python fn does
-    ONLY numpy indexing over the precomputed index columns -- no per-row
-    hashing, no per-row Python at all.
+    (1-exp(-4n/m))^4 per new key after n uniques in a group (pinned
+    against the real operator by tests/test_streaming.py::
+    test_stream_dedup_bloom_fpr_matches_formula).
+
+    Sizing rule: m_bits >= 16 x expected uniques PER GROUP keeps the
+    false-drop rate at ~0.2% ((1-exp(-1/4))^4); that is 2 bytes of state
+    per unique key TOTAL, independent of n_groups.  Pick n_groups so one
+    group's filter (m_bits/8 bytes) fits the state store's per-key value
+    comfortably: at 10^12 uniques the total is ~2 TB, so n_groups ~= 8192
+    gives ~256 MB/group -- state size is set by the unique-key budget,
+    and n_groups only controls the granularity it is sharded at.  The
+    Python fn does ONLY numpy indexing over the precomputed index
+    columns -- no per-row hashing, no per-row Python at all.
     """
     import numpy as np
     import pandas as pd

@@ -345,3 +345,60 @@ def test_stream_frontier_with_robots(spark, staged_pages, tmp_path_factory):
     assert got.count() == 2 * n_hosts, (got.count(), n_hosts)
     assert not any(u.endswith("/about") for u in urls)
     assert any(u.endswith("/c") for u in urls)  # other paths survive
+
+
+def test_stream_dedup_bloom_fpr_matches_formula(spark, tmp_path_factory):
+    """Round-6 verdict #6: the constant-size Bloom state's false-drop
+    rate is CLAIMED as (1 - exp(-k*n/m))^k (k=4) in the stream_dedup
+    docstring/SCALE.md; this pins the observed rate against the formula
+    with the REAL operator end-to-end.
+
+    Wave 1 inserts ~n unique keys into ONE group with a deliberately
+    small filter (m = 16384 bits) so the fill is deep; wave 2 probes
+    2048 DISJOINT fresh keys -- every non-emitted probe is a false
+    drop.  At n/m ~= 1/4 the formula predicts ~16% FPR, so 2048 probes
+    give tight statistics (sigma ~ 0.8%); the assertion band is
+    +/-40% relative, wide enough for hash-collision variance, far too
+    tight for a broken k or index pipeline (k=3 would read ~25%, k=5
+    ~10%, a single-index bloom ~63%)."""
+    import math
+
+    from closure_html_spark.spark.streaming import stream_dedup
+
+    in_dir = str(tmp_path_factory.mktemp("fpr_in"))
+    out_dir = str(tmp_path_factory.mktemp("fpr_out"))
+    ckpt = str(tmp_path_factory.mktemp("fpr_ckpt"))
+    m_bits, k = 1 << 14, 4
+
+    def wave(prefix, n):
+        (spark.range(n)
+         .select(F.concat(F.lit(prefix), F.col("id").cast("string"))
+                 .alias("url"),
+                 F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                 .alias("warc_ts"),
+                 F.encode(F.lit("x"), "utf-8").alias("html"))
+         .repartition(2).write.mode("append").parquet(in_dir))
+
+    def run():
+        stream = (spark.readStream
+                  .schema("url string, warc_ts timestamp, html binary")
+                  .parquet(in_dir))
+        q = (stream_dedup(stream, n_groups=1, m_bits=m_bits)
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    wave("k", 4096)
+    run()
+    inserted = spark.read.parquet(out_dir).count()  # keys actually set
+    assert inserted > 3000  # fill must be deep enough to measure
+
+    wave("p", 2048)
+    run()
+    emitted2 = spark.read.parquet(out_dir).count() - inserted
+    observed = 1.0 - emitted2 / 2048.0
+    predicted = (1.0 - math.exp(-k * inserted / m_bits)) ** k
+    assert abs(observed - predicted) <= 0.4 * predicted, \
+        f"observed FPR {observed:.4f} vs formula {predicted:.4f} " \
+        f"(n={inserted}, m={m_bits}, k={k})"
