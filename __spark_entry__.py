@@ -29,6 +29,8 @@ from closure_html_spark.spark.pages import (
     ORACLE_VARIANT_PREFIX,
     hostile_pages_from_documents,
     pages_from_documents,
+    pages_with_meta,
+    pages_with_tables,
 )
 from closure_html_spark.spark.multimodal import (
     ORACLE_MEDIA_DECODE,
@@ -40,8 +42,10 @@ from closure_html_spark.spark.pdfs import ORACLE_PDF_EXTRACT, q_pdf_extract
 from closure_html_spark.spark.warcs import ORACLE_WARC_EXTRACT, q_warc_extract
 from closure_html_spark.spark.pipeline import (
     extract_pages,
+    metadata_of,
     nodes_of,
     serialize_pages,
+    tables_of,
     tokens_of,
 )
 
@@ -494,6 +498,63 @@ ORDER BY a.doc_id
 """
 
 
+def _q_html_tables(spark, sf_dir):
+    """Structured <table> extraction -- the tabular-data leg of an
+    extraction pipeline: one row per TD/TH cell with (table_idx, row_idx,
+    col_idx, tag, cell).  The corpus (pages_with_tables) pairs a
+    well-formed table with a tag-soup twin (omitted </th>/</td>/</tr>,
+    TBODY left to the resolve machinery), so the oracle's closed-form
+    UNION grid pins that DTD table repair yields identical structure for
+    both -- drift in TD/TH/TR auto-close or TBODY insertion breaks the
+    gate loudly."""
+    pages = pages_with_tables(spark, sf_dir)
+    return (tables_of(pages, id_cols=("doc_id",))
+            .orderBy("doc_id", "table_idx", "row_idx", "col_idx"))
+
+
+def _tables_grid_sql() -> str:
+    cells = [
+        (0, 0, 0, "TH", "'k'"), (0, 0, 1, "TH", "'v'"),
+        (0, 1, 0, "TD", "'doc'"),
+        (0, 1, 1, "TD", "CAST(doc_id AS VARCHAR)"),
+        (0, 2, 0, "TD", "'len'"),
+        (0, 2, 1, "TD", "CAST(n_chars AS VARCHAR)"),
+        (1, 0, 0, "TH", "'f'"), (1, 0, 1, "TH", "'w'"),
+        (1, 1, 0, "TD", "'lang'"), (1, 1, 1, "TD", "lang"),
+        (1, 2, 0, "TD", "'src'"), (1, 2, 1, "TD", "source"),
+    ]
+    legs = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({t} AS INT) AS table_idx, "
+        f"CAST({r} AS INT) AS row_idx, CAST({c} AS INT) AS col_idx, "
+        f"'{tag}' AS tag, {cell} AS cell FROM documents"
+        for (t, r, c, tag, cell) in cells)
+    return legs + " ORDER BY doc_id, table_idx, row_idx, col_idx"
+
+
+ORACLE_HTML_TABLES = _tables_grid_sql()
+
+
+def _q_doc_metadata(spark, sf_dir):
+    """Head-metadata extraction (title / meta description / og:title /
+    rel=canonical / first h1) -- the per-page provenance record a CC-style
+    pipeline carries next to the text.  og:title rides an attribute the
+    HTML-4 DTD does not declare, pinning the mungle-attlist keep-verbatim
+    rule (sgml-parse.lisp:898-917) under the gate."""
+    pages = pages_with_meta(spark, sf_dir)
+    return metadata_of(pages, id_cols=("doc_id",)).orderBy("doc_id")
+
+
+ORACLE_DOC_METADATA = """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       'Summary of doc ' || CAST(doc_id AS VARCHAR) AS description,
+       'OG Doc ' || CAST(doc_id AS VARCHAR) AS og_title,
+       'https://canon.example/p' || CAST(doc_id AS VARCHAR) AS canonical,
+       'Heading ' || CAST(doc_id AS VARCHAR) AS h1
+FROM documents ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """EXACTLY 50 entries -- the driver's correctness gate verifies the
     first 50 keys, so the registry is sized to fit entirely inside the
@@ -511,6 +572,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # into the slot freed by demoting the O(N^2) embedding_neardup
         # exact baseline to aux (round-6 verdict #1)
         "host_boilerplate_clean": R.q_host_boilerplate_clean,
+        # --- round-7 additions (never driver-verified) ---
+        # structured <table> extraction: soup + well-formed twins must
+        # repair to identical grids (tokens_histogram demoted to aux for
+        # the slot: any tokenizer drift already breaks every extraction
+        # gate's byte-pinned text; the tokens TABLE shape keeps aux replay)
+        "html_tables": _q_html_tables,
+        # head metadata: title/description/og:title/canonical/h1
+        # (host_stats demoted: it replayed the synthesis rule, gating no
+        # machinery the agg + url gates don't)
+        "doc_metadata": _q_doc_metadata,
+        # Okapi BM25 top-k retrieval, one-pass corpus stats re-entering
+        # as a broadcast (sentence_chunks demoted: pure column exprs,
+        # oracle survives in aux)
+        "bm25_topk": R.q_bm25_topk,
+        # SemDeDup: IVF-cell-bucketed semantic near-dup removal -- the
+        # scale answer to the demoted O(N^2) exact baseline (media_meta
+        # demoted: projection twin of the still-gated media_decode).
+        # n_cells pinned to the static oracle constant exactly like the
+        # ann_ivf_topk gate; the self-sizing rule is tested separately
+        "semantic_dedup": lambda s, d: R.q_semantic_dedup(s, d, n_cells=16),
         # adversarial parser corpus (round-6 verdict #2): deep nesting /
         # pcdata flood / entity bomb / bad-tag storm / charset lie, all
         # closed-form oracled (string_datetime demoted to aux for the
@@ -575,17 +656,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # propagation; band_bits pinned like the pair query it builds on)
         "neardup_clusters": lambda s, d: R.q_neardup_clusters(
             s, d, band_bits=4),
-        # multimodal plumbing
+        # multimodal plumbing (media_meta demoted to aux round 7)
         "media_decode": q_media_decode,
-        "media_meta": q_media_meta,
         # --- full-pipeline extraction (parse + repair + extract) ---
         "serialize_roundtrip": _q_serialize_roundtrip,
         "nodes_histogram": _q_nodes_histogram,
         # (extract_links demoted to aux late r6 for anchor_text: per-doc
         # href extraction stays driver-gated via extract_variants)
-        "tokens_histogram": _q_tokens_histogram,
+        # (tokens_histogram + host_stats demoted to aux round 7, see the
+        # round-7 additions block for the rationale)
         "warn_histogram": _q_warn_histogram,
-        "host_stats": _q_host_stats,
         # --- relational shell (SURVEY.md §2.10) ---
         "pricing_summary": R.q_pricing_summary,
         "top_revenue_nations": R.q_top_revenue_nations,
@@ -614,7 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": R.q_pii_redact,
         # crawl politeness: robots.txt groups + longest-match verdicts
         "robots_filter": R.q_robots_filter,
-        "sentence_chunks": R.q_sentence_chunks,
+        # (sentence_chunks demoted to aux round 7 for bm25_topk)
         # host-graph PageRank (iterative; crawl prioritization signal)
         "host_pagerank": R.q_host_pagerank,
         "tfidf_topk": R.q_tfidf_topk,
@@ -705,6 +785,12 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": R.q_url_blocklist,
         # per-language data-card report (one partial-agg pass)
         "corpus_datasheet": R.q_corpus_datasheet,
+        # demoted r7 for the html_tables/doc_metadata/bm25/semantic_dedup
+        # promotions (rationale inline in queries())
+        "tokens_histogram": _q_tokens_histogram,
+        "host_stats": _q_host_stats,
+        "sentence_chunks": R.q_sentence_chunks,
+        "media_meta": q_media_meta,
     }
 
 
@@ -740,22 +826,19 @@ def aux_oracle_sql() -> dict[str, str]:
         "sitemap_urls": R.ORACLE_SITEMAP_URLS,
         "url_blocklist": R.ORACLE_URL_BLOCKLIST,
         "corpus_datasheet": R.ORACLE_CORPUS_DATASHEET,
-    }
-
-
-def oracle_sql() -> dict[str, str]:
-    return {
-        # n_spans = 3 is pinned to template 0 (nav/content/footer), the ONLY
-        # template _q_extract_doc synthesizes (pages_from_documents
-        # defaults); revisit if that query ever runs variant templates
-        "extract_doc": (
-            f"SELECT doc_id, {ORACLE_TITLE} AS title, "
-            f"{ORACLE_EXTRACTED_TEXT} AS extracted_text, "
-            f"{ORACLE_MAIN_TEXT} AS main_text, "
-            "3 AS n_spans, CAST(LENGTH(text) AS INT) AS main_len "
-            "FROM documents ORDER BY doc_id"),
-        "serialize_roundtrip": (
-            "SELECT doc_id, 0 AS mismatch FROM documents ORDER BY doc_id"),
+        "sentence_chunks": R.ORACLE_SENTENCE_CHUNKS,
+        "media_meta": ORACLE_MEDIA_META,
+        "tokens_histogram": """
+WITH n AS (SELECT COUNT(*) AS d,
+                  COUNT(*) FILTER (WHERE LENGTH(text) > 0) AS dt
+           FROM documents)
+SELECT * FROM (
+  SELECT 'end' AS kind, 10*d AS n FROM n
+  UNION ALL SELECT 'eof', 1*d FROM n
+  UNION ALL SELECT 'pcdata', 6*d + dt FROM n
+  UNION ALL SELECT 'start', 10*d FROM n
+) ORDER BY kind
+""",
         "host_stats": """
 WITH p AS (
   SELECT doc_id,
@@ -776,21 +859,30 @@ SELECT host, COUNT(*) AS n_pages,
        CAST(SUM(nbytes) AS BIGINT) AS bytes_total
 FROM p GROUP BY host ORDER BY n_pages DESC, host
 """,
-        # The three histograms are deterministic functions of template 0 /
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        # n_spans = 3 is pinned to template 0 (nav/content/footer), the ONLY
+        # template _q_extract_doc synthesizes (pages_from_documents
+        # defaults); revisit if that query ever runs variant templates
+        "extract_doc": (
+            f"SELECT doc_id, {ORACLE_TITLE} AS title, "
+            f"{ORACLE_EXTRACTED_TEXT} AS extracted_text, "
+            f"{ORACLE_MAIN_TEXT} AS main_text, "
+            "3 AS n_spans, CAST(LENGTH(text) AS INT) AS main_len "
+            "FROM documents ORDER BY doc_id"),
+        "serialize_roundtrip": (
+            "SELECT doc_id, 0 AS mismatch FROM documents ORDER BY doc_id"),
+        "html_tables": ORACLE_HTML_TABLES,
+        "doc_metadata": ORACLE_DOC_METADATA,
+        "bm25_topk": R.ORACLE_BM25,
+        "semantic_dedup": R.ORACLE_SEMANTIC_DEDUP,
+        # The histograms are deterministic functions of template 0 /
         # the variant cycle: per-doc counts measured once against the parser
         # (closed form), scaled by COUNT(*).  A parser behavior change that
         # shifts any count breaks these oracles loudly -- that is the point.
-        "tokens_histogram": """
-WITH n AS (SELECT COUNT(*) AS d,
-                  COUNT(*) FILTER (WHERE LENGTH(text) > 0) AS dt
-           FROM documents)
-SELECT * FROM (
-  SELECT 'end' AS kind, 10*d AS n FROM n
-  UNION ALL SELECT 'eof', 1*d FROM n
-  UNION ALL SELECT 'pcdata', 6*d + dt FROM n
-  UNION ALL SELECT 'start', 10*d FROM n
-) ORDER BY kind
-""",
         "nodes_histogram": """
 WITH n AS (SELECT COUNT(*) AS d,
                   COUNT(*) FILTER (WHERE LENGTH(text) > 0) AS dt
@@ -852,7 +944,6 @@ FROM p ORDER BY doc_id, rep
         "resolve_href": R.ORACLE_RESOLVE_HREF,
         "pii_redact": R.ORACLE_PII_REDACT,
         "robots_filter": R.ORACLE_ROBOTS_FILTER,
-        "sentence_chunks": R.ORACLE_SENTENCE_CHUNKS,
         "normalize_text": ORACLE_NORMALIZE_TEXT,
         "host_pagerank": R.ORACLE_HOST_PAGERANK,
         "tfidf_topk": R.ORACLE_TFIDF,
@@ -878,7 +969,6 @@ FROM p ORDER BY doc_id, rep
         "ann_lsh_topk": R.ORACLE_ANN_LSH,
         "ann_ivf_topk": R.ORACLE_ANN_IVF,
         "media_decode": ORACLE_MEDIA_DECODE,
-        "media_meta": ORACLE_MEDIA_META,
         "pdf_extract": ORACLE_PDF_EXTRACT,
         "corpus_clean_pipeline": ORACLE_CORPUS_CLEAN,
         "warc_extract": ORACLE_WARC_EXTRACT,

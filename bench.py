@@ -435,6 +435,10 @@ def main():
         ("lm_perplexity", R.q_lm_perplexity),
         # exact-substring removal (driver-gated late r6)
         ("repeated_span_clean", R.q_repeated_span_clean),
+        # round-7 additions: |q|-bounded retrieval and the IVF-cell
+        # semantic dedup that replaced the O(N^2) exact baseline
+        ("bm25_topk", R.q_bm25_topk),
+        ("semantic_dedup", R.q_semantic_dedup),
     ]
     # TWO full passes over the list, min per query: a throttle dip during
     # one pass cannot poison the recorded wall for the queries it clipped

@@ -135,3 +135,92 @@ def extract_main_content(doc: Doc, dtd: Dtd) -> dict:
         "main_text": "".join(extracted[a:b] for a, b, _, k in spans if k),
         "spans": spans,
     }
+
+
+# --- structured extraction: tables + head metadata (round 7) ----------------
+
+def _cell_text(doc: Doc, cell: int) -> str:
+    """Concatenated PCDATA under a TD/TH in document order, not descending
+    into nested TABLEs (their cells belong to their own table_idx)."""
+    parts = []
+    stack = list(reversed(doc.children[cell]))
+    while stack:
+        n = stack.pop()
+        nm = doc.name[n]
+        if nm == PCDATA:
+            parts.append(doc.text[n] or "")
+            continue
+        if nm == "TABLE" or nm in SKIP_SUBTREES:
+            continue
+        stack.extend(reversed(doc.children[n]))
+    return "".join(parts)
+
+
+def tables_of_doc(doc: Doc) -> list:
+    """Structured rows from every <table> in the repaired DOM:
+    (table_idx, row_idx, col_idx, tag, cell) with table_idx in pre-order
+    appearance, rows = TR descendants in document order (THEAD/TBODY/TFOOT
+    transparent -- the DTD repair inserts the omissible TBODY, so walking
+    through section wrappers is what makes soup and well-formed markup
+    yield identical grids), cells = direct TD/TH children per row.  Nested
+    tables are separate table_idx entries, never rows of their parent."""
+    out = []
+    t_idx = 0
+    for n, _ in doc.walk():
+        if doc.name[n] != "TABLE":
+            continue
+        trs = []
+        stack = list(reversed(doc.children[n]))
+        while stack:
+            m = stack.pop()
+            nm = doc.name[m]
+            if nm == "TABLE":      # nested table: its own walk() visit
+                continue
+            if nm == "TR":
+                trs.append(m)
+            stack.extend(reversed(doc.children[m]))
+        for r, tr in enumerate(trs):
+            c = 0
+            for ch in doc.children[tr]:
+                if doc.name[ch] in ("TD", "TH"):
+                    out.append((t_idx, r, c, doc.name[ch],
+                                _cell_text(doc, ch)))
+                    c += 1
+        t_idx += 1
+    return out
+
+
+def metadata_of_doc(doc: Doc) -> dict:
+    """Head metadata a CC-style pipeline keeps per page: title, <meta
+    name=description>, <meta property="og:title"> (RDFa -- undeclared in
+    the DTD but value-attrs survive mungle-attlist verbatim,
+    sgml-parse.lisp:898-917), <link rel=canonical>, and the first <h1>'s
+    text.  First occurrence wins; absent -> ''.  NOT exposed: <html lang>
+    -- the post-mortem top-level merge synthesizes a bare HTML node
+    exactly like the reference's fix-top-level-structure
+    (sgml-parse.lisp:1371 make-pt/low with no attrs), so root attrs are
+    unrecoverable from the repaired DOM by construction."""
+    md = {"title": title_of(doc), "description": "", "og_title": "",
+          "canonical": "", "h1": ""}
+    root = doc.root
+    head = find_first(doc, root, "HEAD")
+    if head >= 0:
+        for n, _ in doc.walk(head):
+            nm = doc.name[n]
+            if nm == "META":
+                a = dict(doc.attrs[n] or ())
+                if a.get("NAME") == "description" and not md["description"]:
+                    md["description"] = a.get("CONTENT", "")
+                elif a.get("PROPERTY") == "og:title" and not md["og_title"]:
+                    md["og_title"] = a.get("CONTENT", "")
+            elif nm == "LINK":
+                a = dict(doc.attrs[n] or ())
+                if a.get("REL") == "canonical" and not md["canonical"]:
+                    md["canonical"] = a.get("HREF", "")
+    body = find_first(doc, root, "BODY")
+    if body >= 0:
+        for n, _ in doc.walk(body):
+            if doc.name[n] == "H1":
+                md["h1"] = _cell_text(doc, n)
+                break
+    return md

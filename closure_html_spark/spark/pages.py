@@ -191,3 +191,68 @@ ORACLE_VARIANT_PREFIX = (
 ORACLE_VARIANT_NSPANS = (
     "CASE (doc_id + rep) % 4 WHEN 0 THEN 2 WHEN 2 THEN 5 ELSE 4 END "
     "+ CASE WHEN LENGTH(text) > 0 THEN 1 ELSE 0 END")
+
+
+# --- structured-extraction corpora (round 7) --------------------------------
+# Each doc carries TWO logical tables with identical shape but different
+# values; table 0 is fully closed, table 1 leans on the DTD's optional end
+# tags (</th>/</td>/</tr> omitted) AND the omissible TBODY start tag, so the
+# repaired grids must come out identical modulo cell values -- the oracle is
+# therefore a closed-form UNNEST over `documents` and any drift in the
+# table-repair rules (resolve-table inserts TBODY; TD/TH/TR auto-close)
+# breaks the gate loudly.
+
+def pages_with_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize pages whose bodies hold a well-formed and a tag-soup
+    <table>, cells closed-form in doc_id/n_chars/lang/source."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nstr = F.col("doc_id").cast("string")
+    lenstr = F.col("n_chars").cast("string")
+    table_a = F.concat(
+        F.lit("<table><tr><th>k</th><th>v</th></tr>"
+              "<tr><td>doc</td><td>"), nstr,
+        F.lit("</td></tr><tr><td>len</td><td>"), lenstr,
+        F.lit("</td></tr></table>"))
+    table_b = F.concat(
+        F.lit("<table><tr><th>f<th>w<tr><td>lang<td>"), F.col("lang"),
+        F.lit("<tr><td>src<td>"), F.col("source"), F.lit("</table>"))
+    html = F.concat(
+        F.lit("<html><head><title>T</title></head><body>"),
+        table_a, F.lit("<p>"), _esc(F.col("text")), F.lit("</p>"),
+        table_b, F.lit("</body></html>"))
+    url = F.concat(F.lit("https://tables.example/p"), nstr)
+    return docs.select(
+        url.alias("url"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) +
+         F.make_interval(secs=F.col("doc_id"))).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"),
+    )
+
+
+def pages_with_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize pages carrying the head-metadata surface a CC-style
+    pipeline keeps per document: <html lang>, <title>, <meta
+    name=description>, an RDFa <meta property="og:title"> (undeclared in
+    the HTML-4 DTD -- value-attrs are kept verbatim, the mungle-attlist
+    rule the extractor depends on), and <link rel=canonical>."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nstr = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html lang="), F.col("lang"),
+        F.lit("><head><title>Doc "), nstr,
+        F.lit('</title><meta name=description content="Summary of doc '),
+        nstr,
+        F.lit('"><meta property="og:title" content="OG Doc '), nstr,
+        F.lit('"><link rel=canonical href="https://canon.example/p'), nstr,
+        F.lit('"></head><body><h1>Heading '), nstr,
+        F.lit("</h1><p>"), _esc(F.col("text")),
+        F.lit("</p></body></html>"))
+    url = F.concat(F.lit("https://meta.example/p"), nstr)
+    return docs.select(
+        url.alias("url"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) +
+         F.make_interval(secs=F.col("doc_id"))).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"),
+    )

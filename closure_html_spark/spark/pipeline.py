@@ -833,3 +833,103 @@ def bookmarks_of(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
             yield pd.DataFrame(rows)
 
     return df.select(*cols).mapInPandas(fn, schema)
+
+
+# --- structured extraction stages (round 7) ----------------------------------
+
+def tables_of(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
+              default_charset: str = "utf-8") -> DataFrame:
+    """Exploded `cells` table: one row per TD/TH of every <table> in the
+    repaired DOM -- (table_idx, row_idx, col_idx, tag, cell).  Same
+    shuffle-free mapInArrow shape as nodes_of: flat primitive lists ->
+    pyarrow arrays, id columns replicated by a C++-side take(); a
+    malformed document contributes zero rows rather than killing the
+    batch (the extract_pages never-kill-the-batch convention)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    from ..extract import tables_of_doc
+
+    id_fields = ", ".join(f"{n} {t}" for n, t in df.dtypes if n in id_cols)
+    schema = (id_fields + ", table_idx int, row_idx int, col_idx int, "
+              "tag string, cell string")
+    ids = [name for name, _ in df.dtypes if name in id_cols]
+    arrow_schema = to_arrow_schema(StructType.fromDDL(schema))
+    i32 = pa.int32()
+
+    def afn(batches):
+        dtd = load_dtd()
+        for batch in batches:
+            htmls = batch.column("html").to_pylist()
+            row_idx = []
+            t_c, r_c, c_c, tag_c, cell_c = [], [], [], [], []
+            for idx in range(len(htmls)):
+                try:
+                    text, _ = decode_html(bytes(htmls[idx]), default_charset)
+                    doc = parse_html(dtd, text)
+                    rows = tables_of_doc(doc)
+                except Exception:
+                    continue
+                for (t, r, c, tag, cell) in rows:
+                    row_idx.append(idx)
+                    t_c.append(t)
+                    r_c.append(r)
+                    c_c.append(c)
+                    tag_c.append(tag)
+                    cell_c.append(cell)
+            take = pa.array(row_idx, i32)
+            out = pa.RecordBatch.from_arrays(
+                [batch.column(c).take(take) for c in ids] + [
+                    pa.array(t_c, i32), pa.array(r_c, i32),
+                    pa.array(c_c, i32),
+                    pa.array(tag_c, pa.string()),
+                    pa.array(cell_c, pa.string())],
+                names=arrow_schema.names)
+            yield out.cast(arrow_schema, safe=False)
+
+    return df.select(*(list(id_cols) + ["html"])).mapInArrow(afn, schema)
+
+
+_META_FIELDS = ("title", "description", "og_title", "canonical", "h1")
+
+
+def metadata_of(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
+                default_charset: str = "utf-8") -> DataFrame:
+    """Per-page head metadata (title / meta description / og:title /
+    canonical link / first h1): exactly one output row per input page
+    (a malformed document yields the all-'' row, so ingest accounting
+    stays 1:1), assembled as flat string arrays in one mapInArrow pass."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    from ..extract import metadata_of_doc
+
+    id_fields = ", ".join(f"{n} {t}" for n, t in df.dtypes if n in id_cols)
+    schema = id_fields + ", " + ", ".join(f"{f} string"
+                                          for f in _META_FIELDS)
+    ids = [name for name, _ in df.dtypes if name in id_cols]
+    arrow_schema = to_arrow_schema(StructType.fromDDL(schema))
+
+    def afn(batches):
+        dtd = load_dtd()
+        empty = {f: "" for f in _META_FIELDS}
+        for batch in batches:
+            htmls = batch.column("html").to_pylist()
+            cols = {f: [] for f in _META_FIELDS}
+            for idx in range(len(htmls)):
+                try:
+                    text, _ = decode_html(bytes(htmls[idx]), default_charset)
+                    md = metadata_of_doc(parse_html(dtd, text))
+                except Exception:
+                    md = empty
+                for f in _META_FIELDS:
+                    cols[f].append(md[f])
+            out = pa.RecordBatch.from_arrays(
+                [batch.column(c) for c in ids] + [
+                    pa.array(cols[f], pa.string()) for f in _META_FIELDS],
+                names=arrow_schema.names)
+            yield out.cast(arrow_schema, safe=False)
+
+    return df.select(*(list(id_cols) + ["html"])).mapInArrow(afn, schema)

@@ -4470,3 +4470,205 @@ SELECT lang, COUNT(*) AS n_docs, SUM(t) AS total_tokens,
        SUM(CASE WHEN t >= 50 THEN 1 ELSE 0 END) AS n_quality_pass
 FROM s GROUP BY lang ORDER BY lang
 """
+
+
+# --- BM25 retrieval (round 7) ------------------------------------------------
+
+BM25_TERMS = ("spark", "window", "join")
+
+
+def q_bm25_topk(spark, sf_dir, terms: tuple = BM25_TERMS, k: int = 20,
+                k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 top-k retrieval for a fixed query -- the sparse-retrieval
+    primitive behind corpus search and RAG candidate generation (Robertson
+    & Zaragoza 2009; idf in the Lucene ln(1 + (N-df+.5)/(df+.5)) form so
+    it is never negative).
+
+    Scale shape: per-term tf is a map-side array fold over the split word
+    array (NO corpus-wide explode -- the tfidf query pays that because it
+    scores every term; a |q|-term query only needs |q| counters per doc);
+    N, avgdl and every df come out of ONE one-row aggregate that re-enters
+    the plan as a broadcast crossJoin (the classifier-weights pattern), so
+    the only exchange bigger than one row is the final global top-k, which
+    TakeOrderedAndProject keeps at k rows per partition.  Scores rounded
+    to 6dp for cross-engine float compare (the lm_perplexity precedent)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.trim("text"), r"\s+"),
+                     lambda x: x != F.lit(""))
+
+    def _eq(term):
+        # NB: a 2-arg lambda would be read by the HOF as (element, index)
+        return lambda x: x == F.lit(term)
+
+    base = docs.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        *[F.size(F.filter(words, _eq(t))).alias(f"tf{i}")
+          for i, t in enumerate(terms)])
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        *[F.count_if(F.col(f"tf{i}") > 0).alias(f"df{i}")
+          for i in range(len(terms))])
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(F.lit(1.0) +
+                    (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5)) /
+                    (F.col(f"df{i}") + F.lit(0.5)))
+        tf = F.col(f"tf{i}").cast("double")
+        part = idf * tf * F.lit(k1 + 1.0) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) +
+                              F.lit(b) * F.col("dl") / F.col("avgdl")))
+        score = part if score is None else score + part
+    scored = (base.crossJoin(F.broadcast(stats))
+              .select("doc_id", F.round(score, 6).alias("score"))
+              .filter(F.col("score") > 0))
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(k)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (top.withColumn("rnk", F.row_number().over(w))
+            .select("doc_id", "score", "rnk").orderBy("rnk"))
+
+
+def _bm25_oracle_sql(terms: tuple = BM25_TERMS, k: int = 20,
+                     k1: float = 1.2, b: float = 0.75) -> str:
+    tf_cols = ", ".join(
+        "len(list_filter(regexp_split_to_array(TRIM(text), '\\s+'), "
+        f"x -> x = '{t}')) AS tf{i}" for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"COUNT(*) FILTER (WHERE tf{i} > 0) AS df{i}"
+        for i in range(len(terms)))
+    parts = " + ".join(
+        f"ln(1.0 + (s.n_docs - s.df{i} + 0.5) / (s.df{i} + 0.5)) "
+        f"* d.tf{i} * {k1 + 1.0} / "
+        f"(d.tf{i} + {k1} * ({1.0 - b} + {b} * d.dl / s.avgdl))"
+        for i in range(len(terms)))
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
+                         x -> x <> '')) AS dl,
+         {tf_cols}
+  FROM documents
+),
+s AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl, {df_cols}
+  FROM d
+),
+scored AS (
+  SELECT d.doc_id, ROUND({parts}, 6) AS score FROM d CROSS JOIN s
+)
+SELECT doc_id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+ORACLE_BM25 = _bm25_oracle_sql()
+
+
+# --- SemDeDup: clustered semantic dedup (round 7) ----------------------------
+
+def q_semantic_dedup(spark, sf_dir, threshold: float = 0.4,
+                     n_cells: int | None = None, n_rows: int | None = None):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition embeddings into k-means cells, then find
+    near-duplicate pairs ONLY within each cell and keep one survivor per
+    local duplicate relation.  The cells are the IVF coarse quantizer from
+    q_ann_ivf_topk (deterministic every-step-th sampled centroids, nearest
+    assignment via a partial-aggregating max(struct)), so the DuckDB
+    oracle replays the index bit for bit.  Survivor rule: a vector is
+    dropped iff a same-cell neighbor with SMALLER vec_id has cosine >=
+    threshold (the paper keeps the vector farthest from the centroid; a
+    float-free deterministic tie-break keeps the oracle exact).
+
+    Scale shape: assignment is broadcast(n_cells) x map-side combine --
+    embeddings cross a shuffle once, keyed by cell; pairwise work is
+    quadratic only in cell occupancy, which ivf_n_cells(N) ~ sqrt(N)
+    keeps at ~sqrt(N) rows => O(N) candidate pairs corpus-wide (the same
+    sizing argument as the LSH twin, tests/test_lsh_scale.py); the final
+    anti-join carries ids only."""
+    import math
+    emb = _t(spark, sf_dir, "embeddings")
+    n = _embeddings_n_rows(emb, sf_dir, n_rows)
+    if n_cells is None:
+        n_cells = ivf_n_cells(n)
+    step = max(1, math.ceil(n / n_cells))
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cents = (emb.filter(F.col("vec_id") % step == 0)
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("c_emb"),
+                     norm(F.col("embedding")).alias("c_norm")))
+    ev = emb.select("vec_id", "embedding",
+                    norm(F.col("embedding")).alias("v_norm"))
+    sim_c = F.round(_dot_expr(F.col("embedding"), F.col("c_emb")) /
+                    (F.col("v_norm") * F.col("c_norm")), 6)
+    cells = (ev.crossJoin(F.broadcast(cents))
+             .select("vec_id", "embedding", "v_norm",
+                     F.struct(sim_c.alias("s"),
+                              (-F.col("c_id")).alias("nc")).alias("o"))
+             .groupBy("vec_id")
+             .agg(F.max("o").alias("m"),
+                  F.first("embedding").alias("embedding"),
+                  F.first("v_norm").alias("v_norm"))
+             .select("vec_id", (-F.col("m.nc")).alias("cell"),
+                     "embedding", "v_norm"))
+    a = cells.select(F.col("cell"), F.col("vec_id").alias("a_id"),
+                     F.col("embedding").alias("a_emb"),
+                     F.col("v_norm").alias("a_norm"))
+    bb = cells.select(F.col("cell"), F.col("vec_id").alias("b_id"),
+                      F.col("embedding").alias("b_emb"),
+                      F.col("v_norm").alias("b_norm"))
+    sim = F.round(_dot_expr(F.col("a_emb"), F.col("b_emb")) /
+                  (F.col("a_norm") * F.col("b_norm")), 6)
+    losers = (a.join(bb, "cell")
+              .filter(F.col("a_id") < F.col("b_id"))
+              .filter(sim >= threshold)
+              .select(F.col("b_id").alias("vec_id"))
+              .distinct())
+    return (cells.select("vec_id", "cell")
+            .join(losers.withColumn("dropped", F.lit(1)), "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.when(F.col("dropped").isNull(), F.lit(1))
+                    .otherwise(F.lit(0)).alias("kept"))
+            .orderBy("vec_id"))
+
+
+def _semantic_dedup_oracle_sql(threshold: float = 0.4,
+                               n_cells: int = 16) -> str:
+    sim_ec = _IVF_COS.format(a="e", b="c")
+    sim_ab = _IVF_COS.format(a="ea", b="eb")
+    return f"""
+WITH stepv AS (
+  SELECT CAST(CEIL(COUNT(*) / {n_cells}.0) AS BIGINT) AS step
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS c_id, embedding
+  FROM embeddings WHERE vec_id % (SELECT GREATEST(step, 1) FROM stepv) = 0
+),
+cells AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT e.vec_id, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sim_ec} DESC, c.c_id) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+),
+losers AS (
+  SELECT DISTINCT cb.vec_id
+  FROM cells ca JOIN cells cb ON ca.cell = cb.cell
+                            AND ca.vec_id < cb.vec_id
+  JOIN embeddings ea ON ea.vec_id = ca.vec_id
+  JOIN embeddings eb ON eb.vec_id = cb.vec_id
+  WHERE {sim_ab} >= {threshold}
+)
+SELECT c.vec_id, c.cell,
+       CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM cells c LEFT JOIN losers l ON c.vec_id = l.vec_id
+ORDER BY c.vec_id
+"""
+
+
+ORACLE_SEMANTIC_DEDUP = _semantic_dedup_oracle_sql()

@@ -240,12 +240,15 @@ def test_registry_wide_plan_discipline(spark):
     row-at-a-time Python UDF (BatchEvalPython) anywhere, NO
     CartesianProduct anywhere (round-7: the O(N^2) embedding_neardup
     exact baseline now lives in aux, so the driver window contains zero
-    all-pairs plans), and BroadcastNestedLoopJoin only in the two
-    exact-ANN baselines whose broadcast side is the tiny literal query
-    set.  Any new registry entry that regresses to a Python UDF or an
-    accidental cartesian fails here before the driver ever sees it."""
+    all-pairs plans), and BroadcastNestedLoopJoin only where the
+    broadcast side is provably tiny: the exact-ANN baselines' literal
+    query set, the IVF-family centroid tables (n_cells ~ sqrt N rows),
+    and bm25's ONE-row corpus-stats aggregate.  Any new registry entry
+    that regresses to a Python UDF or an accidental cartesian fails here
+    before the driver ever sees it."""
     import __spark_entry__ as entry_mod
-    bnlj_ok = {"ann_cosine_topk", "ann_ivf_topk"}
+    bnlj_ok = {"ann_cosine_topk", "ann_ivf_topk", "semantic_dedup",
+               "bm25_topk"}
     offenders = {}
     for name, fn in entry_mod.queries().items():
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
