@@ -42,6 +42,7 @@ from closure_html_spark.spark.pdfs import ORACLE_PDF_EXTRACT, q_pdf_extract
 from closure_html_spark.spark.warcs import ORACLE_WARC_EXTRACT, q_warc_extract
 from closure_html_spark.spark.pipeline import (
     extract_pages,
+    jsonld_of,
     metadata_of,
     nodes_of,
     serialize_pages,
@@ -555,6 +556,30 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _q_jsonld_extract(spark, sf_dir):
+    """schema.org JSON-LD extraction: <script type=application/ld+json>
+    payloads come back verbatim from the Arrow stage (the parser keeps
+    script bodies raw); field parsing is JVM-side from_json -- no Python
+    json.loads stage anywhere."""
+    pages = pages_with_meta(spark, sf_dir)
+    raw = jsonld_of(pages, id_cols=("doc_id",))
+    j = F.from_json(
+        "json", "`@type` string, headline string, wordCount long")
+    return (raw.select("doc_id", "ld_idx",
+                       j.getField("@type").alias("ld_type"),
+                       j.getField("headline").alias("headline"),
+                       j.getField("wordCount").alias("word_count"))
+            .orderBy("doc_id", "ld_idx"))
+
+
+ORACLE_JSONLD = """
+SELECT doc_id, CAST(0 AS INT) AS ld_idx, 'Article' AS ld_type,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS headline,
+       n_chars AS word_count
+FROM documents ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """EXACTLY 50 entries -- the driver's correctness gate verifies the
     first 50 keys, so the registry is sized to fit entirely inside the
@@ -791,6 +816,9 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": _q_host_stats,
         "sentence_chunks": R.q_sentence_chunks,
         "media_meta": q_media_meta,
+        # round-7 addition: schema.org JSON-LD (raw payload via Arrow
+        # stage, fields via JVM-side from_json)
+        "jsonld_extract": _q_jsonld_extract,
     }
 
 
@@ -859,6 +887,7 @@ SELECT host, COUNT(*) AS n_pages,
        CAST(SUM(nbytes) AS BIGINT) AS bytes_total
 FROM p GROUP BY host ORDER BY n_pages DESC, host
 """,
+        "jsonld_extract": ORACLE_JSONLD,
     }
 
 

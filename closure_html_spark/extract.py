@@ -224,3 +224,23 @@ def metadata_of_doc(doc: Doc) -> dict:
                 md["h1"] = _cell_text(doc, n)
                 break
     return md
+
+
+def jsonld_of_doc(doc: Doc) -> list:
+    """Raw schema.org JSON-LD payloads: the concatenated pcdata of every
+    <script type=application/ld+json>, in document order.  The parser
+    keeps script bodies as raw pcdata runs (split around stray '<' --
+    concatenation restores the original bytes), so the payload comes
+    back verbatim; actual JSON parsing happens JVM-side via from_json
+    (the UDF-free half of the operator)."""
+    out = []
+    for n, _ in doc.walk():
+        if doc.name[n] != "SCRIPT":
+            continue
+        a = dict(doc.attrs[n] or ())
+        if a.get("TYPE", "").lower() != "application/ld+json":
+            continue
+        out.append("".join(
+            doc.text[c] or "" for c in doc.children[n]
+            if doc.name[c] == PCDATA))
+    return out

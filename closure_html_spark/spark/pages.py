@@ -245,7 +245,10 @@ def pages_with_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         nstr,
         F.lit('"><meta property="og:title" content="OG Doc '), nstr,
         F.lit('"><link rel=canonical href="https://canon.example/p'), nstr,
-        F.lit('"></head><body><h1>Heading '), nstr,
+        F.lit('"><script type="application/ld+json">'
+              '{"@type": "Article", "headline": "Doc '), nstr,
+        F.lit('", "wordCount": '), F.col("n_chars").cast("string"),
+        F.lit('}</script></head><body><h1>Heading '), nstr,
         F.lit("</h1><p>"), _esc(F.col("text")),
         F.lit("</p></body></html>"))
     url = F.concat(F.lit("https://meta.example/p"), nstr)

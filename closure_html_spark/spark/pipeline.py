@@ -933,3 +933,45 @@ def metadata_of(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
             yield out.cast(arrow_schema, safe=False)
 
     return df.select(*(list(id_cols) + ["html"])).mapInArrow(afn, schema)
+
+
+def jsonld_of(df: DataFrame, id_cols: tuple[str, ...] = ("url",),
+              default_charset: str = "utf-8") -> DataFrame:
+    """One row per <script type=application/ld+json> block: (ld_idx,
+    json) with the payload verbatim.  Schema-aware parsing stays JVM-side
+    -- compose with F.from_json, never a Python json.loads stage."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    from ..extract import jsonld_of_doc
+
+    id_fields = ", ".join(f"{n} {t}" for n, t in df.dtypes if n in id_cols)
+    schema = id_fields + ", ld_idx int, json string"
+    ids = [name for name, _ in df.dtypes if name in id_cols]
+    arrow_schema = to_arrow_schema(StructType.fromDDL(schema))
+    i32 = pa.int32()
+
+    def afn(batches):
+        dtd = load_dtd()
+        for batch in batches:
+            htmls = batch.column("html").to_pylist()
+            row_idx, idx_c, json_c = [], [], []
+            for idx in range(len(htmls)):
+                try:
+                    text, _ = decode_html(bytes(htmls[idx]), default_charset)
+                    payloads = jsonld_of_doc(parse_html(dtd, text))
+                except Exception:
+                    continue
+                for i, payload in enumerate(payloads):
+                    row_idx.append(idx)
+                    idx_c.append(i)
+                    json_c.append(payload)
+            take = pa.array(row_idx, i32)
+            out = pa.RecordBatch.from_arrays(
+                [batch.column(c).take(take) for c in ids] + [
+                    pa.array(idx_c, i32), pa.array(json_c, pa.string())],
+                names=arrow_schema.names)
+            yield out.cast(arrow_schema, safe=False)
+
+    return df.select(*(list(id_cols) + ["html"])).mapInArrow(afn, schema)

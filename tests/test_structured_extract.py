@@ -198,3 +198,31 @@ def test_semantic_dedup_self_sizing_runs(spark):
     from closure_html_spark.spark.relational import q_semantic_dedup
     out = q_semantic_dedup(spark, SF)
     assert out.count() == 500
+
+
+# --- JSON-LD -----------------------------------------------------------------
+
+def test_jsonld_payload_verbatim_and_filtered(dtd):
+    from closure_html_spark.extract import jsonld_of_doc
+    html = ('<head><title>t</title>'
+            '<script type="application/ld+json">{"a": "x<1>"}</script>'
+            '<script type="text/javascript">var x=1;</script>'
+            '</head><body>'
+            '<script type="application/ld+json">{"b": 2}</script>')
+    assert jsonld_of_doc(_parse(dtd, html)) == ['{"a": "x<1>"}', '{"b": 2}']
+    assert jsonld_of_doc(_parse(dtd, "<body><script>x</script>")) == []
+
+
+def test_jsonld_query_matches_oracle(spark):
+    import duckdb
+
+    import __spark_entry__ as e
+    sdf = e.aux_queries()["jsonld_extract"](spark, SF).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{SF}/documents.parquet'")
+    odf = con.execute(e.aux_oracle_sql()["jsonld_extract"]).fetchdf()
+    assert len(sdf) == len(odf) == 500
+    s = sorted(map(tuple, sdf[sorted(sdf.columns)].itertuples(index=False)))
+    o = sorted(map(tuple, odf[sorted(odf.columns)].itertuples(index=False)))
+    assert s == o
