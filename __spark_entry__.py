@@ -819,6 +819,10 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 addition: schema.org JSON-LD (raw payload via Arrow
         # stage, fields via JVM-side from_json)
         "jsonld_extract": _q_jsonld_extract,
+        # round-7 addition: product-quantization codes (Jegou et al.
+        # 2011) -- 4-bit-per-subspace codes, broadcast codebook, one
+        # groupBy pass; the vector-compression leg of the ANN family
+        "pq_encode": R.q_pq_encode,
     }
 
 
@@ -888,6 +892,7 @@ SELECT host, COUNT(*) AS n_pages,
 FROM p GROUP BY host ORDER BY n_pages DESC, host
 """,
         "jsonld_extract": ORACLE_JSONLD,
+        "pq_encode": R.ORACLE_PQ_ENCODE,
     }
 
 

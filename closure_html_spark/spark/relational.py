@@ -4672,3 +4672,93 @@ ORDER BY c.vec_id
 
 
 ORACLE_SEMANTIC_DEDUP = _semantic_dedup_oracle_sql()
+
+
+# --- product quantization (round 7) -------------------------------------------
+
+def q_pq_encode(spark, sf_dir, m: int = 8, n_sub_cents: int = 16,
+                n_rows: int | None = None):
+    """Product-quantization encoding (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the 64-dim vector splits
+    into m=8 contiguous 8-dim subspaces; each subvector is replaced by
+    the id of its nearest sub-centroid (16 per subspace => 4-bit codes,
+    8 x 4 = 32 bits per vector vs 256 bytes of float32 -- the 64x
+    compression that makes a 100-TB embedding corpus fit a serving
+    tier).  Sub-centroids come from the SAME deterministic every-step-th
+    sampling as the IVF coarse quantizer, so the DuckDB oracle replays
+    the codebook bit for bit.
+
+    Scale shape: ONE broadcast crossJoin of the 16-row codebook x a
+    map-side-combined min(struct(dist, c_id)) per subspace -- all 8
+    argmins ride a single groupBy(vec_id) pass (partial agg), embeddings
+    cross the exchange once.  dist is the expanded L2 form
+    |x|^2 - 2x.c + |c|^2 rounded to 6dp (cross-engine float parity, the
+    _IVF_COS convention); qerr = sum of the 8 min distances is the
+    reconstruction-error audit column."""
+    import math
+    emb = _t(spark, sf_dir, "embeddings")
+    n = _embeddings_n_rows(emb, sf_dir, n_rows)
+    step = max(1, math.ceil(n / n_sub_cents))
+    d_sub = 64 // m
+
+    def sub(c, j):  # 1-based slice of subspace j
+        return F.slice(c, j * d_sub + 1, d_sub)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y:
+                       x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    cents = (emb.filter(F.col("vec_id") % step == 0)
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("c_emb")))
+    pairs = emb.select("vec_id", "embedding") \
+        .crossJoin(F.broadcast(cents))
+    aggs = []
+    for j in range(m):
+        xj, cj = sub(F.col("embedding"), j), sub(F.col("c_emb"), j)
+        dist = F.round(dot(xj, xj) - 2 * dot(xj, cj) + dot(cj, cj), 6)
+        aggs.append(F.min(F.struct(dist.alias("d"),
+                                   F.col("c_id").alias("c"))).alias(f"m{j}"))
+    enc = pairs.groupBy("vec_id").agg(*aggs)
+    qerr = None
+    outs = [F.col("vec_id")]
+    for j in range(m):
+        outs.append(F.col(f"m{j}.c").alias(f"code{j}"))
+        dj = F.col(f"m{j}.d")
+        qerr = dj if qerr is None else qerr + dj
+    outs.append(F.round(qerr, 6).alias("qerr"))
+    return enc.select(*outs).orderBy("vec_id")
+
+
+def _pq_oracle_sql(m: int = 8, n_sub_cents: int = 16) -> str:
+    d_sub = 64 // m
+
+    def dist(j):
+        a = f"array_slice(e.embedding::DOUBLE[], {j*d_sub+1}, {(j+1)*d_sub})"
+        b = f"array_slice(c.c_emb::DOUBLE[], {j*d_sub+1}, {(j+1)*d_sub})"
+        return (f"ROUND(list_dot_product({a}, {a}) "
+                f"- 2*list_dot_product({a}, {b}) "
+                f"+ list_dot_product({b}, {b}), 6)")
+
+    code_cols = ", ".join(
+        f"(MIN(struct_pack(d := {dist(j)}, c := c.c_id))).c AS code{j}"
+        for j in range(m))
+    err_cols = " + ".join(f"MIN({dist(j)})" for j in range(m))
+    return f"""
+WITH stepv AS (
+  SELECT CAST(CEIL(COUNT(*) / {n_sub_cents}.0) AS BIGINT) AS step
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id AS c_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id % (SELECT GREATEST(step, 1) FROM stepv) = 0
+)
+SELECT e.vec_id, {code_cols}, ROUND({err_cols}, 6) AS qerr
+FROM embeddings e CROSS JOIN c
+GROUP BY e.vec_id ORDER BY e.vec_id
+"""
+
+
+ORACLE_PQ_ENCODE = _pq_oracle_sql()

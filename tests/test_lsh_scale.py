@@ -173,3 +173,41 @@ def test_ivf_kmeans_refinement_improves_recall(spark):
     r2 = len(refined & exact) / len(exact)
     assert r2 >= r0, f"refinement lost recall: {r2} < {r0}"
     assert r2 > 0.6, f"refined recall collapsed: {r2}"
+
+
+def test_pq_encode_properties(spark):
+    """Product-quantization audit (q_pq_encode): (a) a vector that IS a
+    sub-centroid donor reconstructs itself exactly (qerr == 0 on every
+    subspace); (b) every emitted code is a real centroid id; (c) the
+    codebook rides a BROADCAST join (no CartesianProduct / shuffle of
+    the 16-row side) and all 8 argmins share ONE aggregation pass --
+    embeddings cross the exchange once."""
+    from closure_html_spark.spark import relational as R
+    SF = "/root/testdata/sf0.001"
+    df = R.q_pq_encode(spark, SF)
+    rows = df.collect()
+    n = R._parquet_n_rows(SF, "embeddings")
+    assert len(rows) == n
+    import math
+    step = max(1, math.ceil(n / 16))
+    cent_ids = {i for i in range(0, n, step)}
+    code_cols = [c for c in df.columns if c.startswith("code")]
+    assert len(code_cols) == 8
+    for r in rows:
+        for c in code_cols:
+            assert r[c] in cent_ids, f"code {r[c]} not a centroid id"
+    by_id = {r["vec_id"]: r for r in rows}
+    for cid in cent_ids:
+        r = by_id[cid]
+        assert r["qerr"] == 0.0, f"centroid {cid} qerr {r['qerr']}"
+        assert all(r[c] == cid for c in code_cols), \
+            f"centroid {cid} codes {[r[c] for c in code_cols]}"
+    # AQE toString prints Final + Initial sections; audit the final one
+    plan = df._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert "CartesianProduct" in plan or "BroadcastNestedLoop" in plan
+    assert "CartesianProduct" not in plan, "codebook join not broadcast"
+    # one hash exchange total (the vec_id agg; orderBy adds a range one)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    # all 8 subspace argmins ride ONE aggregate (embeddings cross once)
+    assert plan.count("Aggregate(key") <= 2, plan  # partial + final
