@@ -35,8 +35,10 @@ from closure_html_spark.spark.pages import (
 from closure_html_spark.spark.multimodal import (
     ORACLE_MEDIA_DECODE,
     ORACLE_MEDIA_META,
+    ORACLE_MEDIA_PHASH,
     q_media_decode,
     q_media_meta,
+    q_media_phash_neardup,
 )
 from closure_html_spark.spark.pdfs import ORACLE_PDF_EXTRACT, q_pdf_extract
 from closure_html_spark.spark.warcs import ORACLE_WARC_EXTRACT, q_warc_extract
@@ -823,6 +825,17 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2011) -- 4-bit-per-subspace codes, broadcast codebook, one
         # groupBy pass; the vector-compression leg of the ANN family
         "pq_encode": R.q_pq_encode,
+        # round-7 addition: compressed-domain ADC search over the PQ
+        # codes (broadcast per-query LUT maps; rerank option tested)
+        "ann_pq_topk": R.q_ann_pq_topk,
+        # round-7 addition: DSIR importance weights (arXiv:2302.03169)
+        # -- hashed-unigram target/raw log-ratio, broadcast model map,
+        # map-side scoring (no per-doc groupBy anywhere)
+        "dsir_weights": R.q_dsir_weights,
+        # round-7 addition: image perceptual-hash near-dup (aHash bits
+        # over the decode feature, banded hamming join -- exact for
+        # hamming<=1 by pigeonhole)
+        "media_phash_neardup": q_media_phash_neardup,
     }
 
 
@@ -893,6 +906,9 @@ FROM p GROUP BY host ORDER BY n_pages DESC, host
 """,
         "jsonld_extract": ORACLE_JSONLD,
         "pq_encode": R.ORACLE_PQ_ENCODE,
+        "ann_pq_topk": R.ORACLE_ANN_PQ,
+        "dsir_weights": R.ORACLE_DSIR,
+        "media_phash_neardup": ORACLE_MEDIA_PHASH,
     }
 
 

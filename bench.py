@@ -439,6 +439,11 @@ def main():
         # semantic dedup that replaced the O(N^2) exact baseline
         ("bm25_topk", R.q_bm25_topk),
         ("semantic_dedup", R.q_semantic_dedup),
+        # round-7 additions: PQ compression + compressed-domain search
+        # and the DSIR importance-weight scorer
+        ("pq_encode", R.q_pq_encode),
+        ("ann_pq_topk", R.q_ann_pq_topk),
+        ("dsir_weights", R.q_dsir_weights),
     ]
     # TWO full passes over the list, min per query: a throttle dip during
     # one pass cannot poison the recorded wall for the queries it clipped

@@ -239,3 +239,96 @@ SELECT CASE WHEN doc_id % 3 = 0 THEN 'fake/image'
        CAST(MAX(doc_id % 30 + 1) AS INT) AS max_frames
 FROM documents GROUP BY 1 ORDER BY mime
 """
+
+
+def q_media_phash_neardup(spark, sf_dir, max_hamming: int = 1,
+                          max_bucket: int | None = None):
+    """Perceptual-hash near-duplicate detection for the image modality:
+    aHash over the decode stage's 8-component feature (bit_i set iff
+    component_i is above the feature mean), then a BANDED hamming join
+    -- two 4-bit bands; hamming <= 1 implies equality in at least one
+    band, so banding is EXACT (not approximate) for max_hamming=1, the
+    standard pigeonhole split of a hamming-LSH index.
+
+    Scale shape: the hash is pure integer column math JVM-side (sha2 +
+    conv; the same bytes the Arrow decode stage hashes, so a real
+    image codec later changes the feature source, not this query); the
+    join carries (band, val, media_id, ph) ints only -- payload bytes
+    never shuffle.  8-bit hashes are what the stub 8-float feature
+    supports; a real pHash is 64-bit with 8-bit bands, same plan.  A
+    degenerate hot value (mono-color corpus) resurrects the in-bucket
+    N^2 exactly like MinHash banding -- max_bucket keeps the
+    lowest-media_id members per (band, val) bucket, the house hot-key
+    cap.  All-integer outputs, so the DuckDB oracle hashes exactly."""
+    media = media_from_documents(spark, sf_dir) \
+        .filter(F.col("mime") == "fake/image")
+    digest = F.sha2(F.col("payload"), 256)
+    ks = [F.conv(F.substring(digest, i * 2 + 1, 2), 16, 10).cast("int")
+          for i in range(8)]
+    total = ks[0]
+    for k in ks[1:]:
+        total = total + k
+    ph = F.lit(0)
+    for i in range(8):
+        ph = ph + F.when(ks[i] * 8 > total, F.lit(1 << i)).otherwise(0)
+    h = media.select("media_id", ph.cast("int").alias("ph"))
+    bands = (h.select(
+        "media_id", "ph",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"),
+                     (F.col("ph") % 16).alias("val")),
+            F.struct(F.lit(1).alias("band"),
+                     F.floor(F.col("ph") / 16).cast("int").alias("val"))))
+        .alias("b"))
+        .select("media_id", "ph", F.col("b.band").alias("band"),
+                F.col("b.val").alias("val")))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "val").orderBy("media_id")
+        bands = (bands.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= max_bucket).drop("rn"))
+    a = bands.select(F.col("media_id").alias("id_a"),
+                     F.col("ph").alias("ph_a"), "band", "val")
+    b = bands.select(F.col("media_id").alias("id_b"),
+                     F.col("ph").alias("ph_b"), "band", "val")
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (a.join(b, ["band", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+            .orderBy("id_a", "id_b"))
+
+
+def _media_phash_oracle_sql(max_hamming: int = 1) -> str:
+    ks = ", ".join(
+        f"CAST(from_hex(substring(dg, {i*2+1}, 2))::BIT AS BIGINT) AS k{i}"
+        for i in range(8))
+    total = " + ".join(f"k{i}" for i in range(8))
+    bits = " + ".join(
+        f"(CASE WHEN k{i} * 8 > ({total}) THEN {1 << i} ELSE 0 END)"
+        for i in range(8))
+    return f"""
+WITH img AS (
+  SELECT doc_id * 10 AS media_id, sha256(text) AS dg
+  FROM documents WHERE doc_id % 3 = 0
+),
+k AS (SELECT media_id, {ks} FROM img),
+h AS (SELECT media_id, CAST({bits} AS INT) AS ph FROM k),
+bands AS (
+  SELECT media_id, ph, 0 AS band, ph % 16 AS val FROM h
+  UNION ALL
+  SELECT media_id, ph, 1 AS band, ph // 16 AS val FROM h
+)
+SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(CAST(a.ph AS BIGINT), CAST(b.ph AS BIGINT)))
+            AS INT) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+WHERE a.media_id < b.media_id
+  AND bit_count(xor(CAST(a.ph AS BIGINT), CAST(b.ph AS BIGINT)))
+      <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+ORACLE_MEDIA_PHASH = _media_phash_oracle_sql()

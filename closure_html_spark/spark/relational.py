@@ -4676,6 +4676,66 @@ ORACLE_SEMANTIC_DEDUP = _semantic_dedup_oracle_sql()
 
 # --- product quantization (round 7) -------------------------------------------
 
+def _pq_sub(c, j, d_sub):
+    """1-based slice of subspace j (length d_sub)."""
+    return F.slice(c, j * d_sub + 1, d_sub)
+
+
+def _pq_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y:
+                   x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pq_subdist(x, c, j, d_sub):
+    """Expanded-form L2 distance between subspace-j slices, rounded to 6dp
+    (the cross-engine float-parity convention)."""
+    xj, cj = _pq_sub(x, j, d_sub), _pq_sub(c, j, d_sub)
+    return F.round(_pq_dot(xj, xj) - 2 * _pq_dot(xj, cj)
+                   + _pq_dot(cj, cj), 6)
+
+
+def _pq_codebook(emb, sf_dir, m, n_sub_cents, n_rows):
+    """(centroids DF, step): deterministic every-step-th sampling, the IVF
+    convention, so DuckDB replays the codebook bit for bit."""
+    import math
+    n = _embeddings_n_rows(emb, sf_dir, n_rows)
+    step = max(1, math.ceil(n / n_sub_cents))
+    cents = (emb.filter(F.col("vec_id") % step == 0)
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("c_emb")))
+    return cents, step
+
+
+def _pq_codes(spark, sf_dir, m: int = 8, n_sub_cents: int = 16,
+              n_rows: int | None = None):
+    """(codes DF with vec_id/code0..code{m-1}/qerr, centroids DF): the
+    shared encode pipeline behind q_pq_encode and q_ann_pq_topk.  One
+    broadcast crossJoin of the tiny codebook x a single groupBy(vec_id)
+    pass carrying all m argmins as min(struct(dist, c_id)) -- embeddings
+    cross the exchange once, partial-agg combined."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, _ = _pq_codebook(emb, sf_dir, m, n_sub_cents, n_rows)
+    d_sub = 64 // m
+    pairs = emb.select("vec_id", "embedding") \
+        .crossJoin(F.broadcast(cents))
+    aggs = []
+    for j in range(m):
+        dist = _pq_subdist(F.col("embedding"), F.col("c_emb"), j, d_sub)
+        aggs.append(F.min(F.struct(dist.alias("d"),
+                                   F.col("c_id").alias("c"))).alias(f"m{j}"))
+    enc = pairs.groupBy("vec_id").agg(*aggs)
+    qerr = None
+    outs = [F.col("vec_id")]
+    for j in range(m):
+        outs.append(F.col(f"m{j}.c").alias(f"code{j}"))
+        dj = F.col(f"m{j}.d")
+        qerr = dj if qerr is None else qerr + dj
+    outs.append(F.round(qerr, 6).alias("qerr"))
+    return enc.select(*outs), cents
+
+
 def q_pq_encode(spark, sf_dir, m: int = 8, n_sub_cents: int = 16,
                 n_rows: int | None = None):
     """Product-quantization encoding (Jegou et al. 2011, "Product
@@ -4695,41 +4755,81 @@ def q_pq_encode(spark, sf_dir, m: int = 8, n_sub_cents: int = 16,
     |x|^2 - 2x.c + |c|^2 rounded to 6dp (cross-engine float parity, the
     _IVF_COS convention); qerr = sum of the 8 min distances is the
     reconstruction-error audit column."""
-    import math
-    emb = _t(spark, sf_dir, "embeddings")
-    n = _embeddings_n_rows(emb, sf_dir, n_rows)
-    step = max(1, math.ceil(n / n_sub_cents))
+    codes, _ = _pq_codes(spark, sf_dir, m, n_sub_cents, n_rows)
+    return codes.orderBy("vec_id")
+
+
+def q_ann_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
+                  m: int = 8, n_sub_cents: int = 16,
+                  n_rows: int | None = None, rerank: int | None = None):
+    """ADC top-k search over PQ codes (Jegou et al. 2011 §III-B,
+    asymmetric distance computation): the query stays uncompressed; each
+    corpus vector's approximate L2 distance is the sum of m table
+    lookups d(q_j, centroid[code_j]) -- the compressed-domain scan that
+    is the POINT of PQ (the 100-TB corpus is read as 4-byte codes, not
+    256-byte floats; ~64x less memory bandwidth per scanned vector).
+
+    Scale shape: the per-query lookup tables (n_queries x m x
+    n_sub_cents distances -- KBs) collapse to ONE broadcast row per
+    query carrying m map<c_id, dist> columns; the codes table
+    crossJoins that broadcast and scores map-side via element_at --
+    the only exchange is the top-k window on (q_id).  Self-match is
+    excluded to mirror q_ann_cosine_topk; ties break on vec_id.  Every
+    subspace distance is pre-rounded to 6dp and summed in fixed j-order
+    so the DuckDB oracle hashes exactly.
+
+    rerank=R is the production IVFADC+R shape (Jegou §III-C): ADC
+    shortlist of R candidates per query, then exact L2 over the R ids
+    only (the shortlist -- q x R ids -- broadcasts back against the
+    float table; the full corpus is still scanned ONLY in compressed
+    form).  Recall@k then equals the shortlist's containment of the
+    exact top-k, monotonically >= plain ADC (asserted in
+    tests/test_lsh_scale.py).  HONEST LIMIT, measured on the synthetic
+    corpus: these embeddings are i.i.d.-random 64-dim vectors -- PQ's
+    adversarial case (no low-intrinsic-dimension manifold), so
+    containment at N=500 is 0.20@R=5 / 0.73@R=100, and per-subspace
+    Lloyd refinement of the codebook does NOT improve it (swept 0-4
+    iters: flat).  On real embedding corpora the manifold is what PQ
+    exploits; the operator shape is unchanged."""
     d_sub = 64 // m
-
-    def sub(c, j):  # 1-based slice of subspace j
-        return F.slice(c, j * d_sub + 1, d_sub)
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y:
-                       x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    cents = (emb.filter(F.col("vec_id") % step == 0)
-             .select(F.col("vec_id").alias("c_id"),
-                     F.col("embedding").alias("c_emb")))
-    pairs = emb.select("vec_id", "embedding") \
-        .crossJoin(F.broadcast(cents))
-    aggs = []
+    codes, cents = _pq_codes(spark, sf_dir, m, n_sub_cents, n_rows)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (emb.filter(F.col("vec_id") < n_queries)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb")))
+    lut_rows = F.broadcast(qs).crossJoin(F.broadcast(cents))
+    lut = lut_rows.groupBy("q_id").agg(*[
+        F.map_from_entries(F.collect_list(F.struct(
+            F.col("c_id"),
+            _pq_subdist(F.col("q_emb"), F.col("c_emb"), j, d_sub)
+            .alias("d")))).alias(f"lut{j}")
+        for j in range(m)])
+    adist = None
     for j in range(m):
-        xj, cj = sub(F.col("embedding"), j), sub(F.col("c_emb"), j)
-        dist = F.round(dot(xj, xj) - 2 * dot(xj, cj) + dot(cj, cj), 6)
-        aggs.append(F.min(F.struct(dist.alias("d"),
-                                   F.col("c_id").alias("c"))).alias(f"m{j}"))
-    enc = pairs.groupBy("vec_id").agg(*aggs)
-    qerr = None
-    outs = [F.col("vec_id")]
-    for j in range(m):
-        outs.append(F.col(f"m{j}.c").alias(f"code{j}"))
-        dj = F.col(f"m{j}.d")
-        qerr = dj if qerr is None else qerr + dj
-    outs.append(F.round(qerr, 6).alias("qerr"))
-    return enc.select(*outs).orderBy("vec_id")
+        term = F.element_at(F.col(f"lut{j}"), F.col(f"code{j}"))
+        adist = term if adist is None else adist + term
+    scored = (codes.crossJoin(F.broadcast(lut))
+              .filter(F.col("vec_id") != F.col("q_id"))
+              .select("q_id", "vec_id", F.round(adist, 6).alias("adist")))
+    w = Window.partitionBy("q_id").orderBy("adist", "vec_id")
+    if rerank is None:
+        return (scored.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= k)
+                .select("q_id", "vec_id", "adist", "rnk")
+                .orderBy("q_id", "rnk"))
+    short = (scored.withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") <= rerank).select("q_id", "vec_id"))
+    cand = (emb.join(F.broadcast(short), "vec_id")
+            .join(F.broadcast(qs), "q_id"))
+    exact = F.round(
+        _pq_dot(F.col("q_emb"), F.col("q_emb"))
+        - 2 * _pq_dot(F.col("q_emb"), F.col("embedding"))
+        + _pq_dot(F.col("embedding"), F.col("embedding")), 6)
+    rr = cand.select("q_id", "vec_id", exact.alias("adist"))
+    return (rr.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("q_id", "vec_id", "adist", "rnk")
+            .orderBy("q_id", "rnk"))
 
 
 def _pq_oracle_sql(m: int = 8, n_sub_cents: int = 16) -> str:
@@ -4762,3 +4862,170 @@ GROUP BY e.vec_id ORDER BY e.vec_id
 
 
 ORACLE_PQ_ENCODE = _pq_oracle_sql()
+
+
+def _ann_pq_oracle_sql(k: int = 5, n_queries: int = 3, m: int = 8,
+                       n_sub_cents: int = 16) -> str:
+    """ADC replay: same codebook/codes CTEs as the PQ oracle, per-query
+    lookup tables as one CTE per subspace, fixed l0+..+l7 summation
+    order mirroring the Spark expression."""
+    d_sub = 64 // m
+
+    def dist(j, x, c):
+        a = f"array_slice({x}::DOUBLE[], {j*d_sub+1}, {(j+1)*d_sub})"
+        b = f"array_slice({c}::DOUBLE[], {j*d_sub+1}, {(j+1)*d_sub})"
+        return (f"ROUND(list_dot_product({a}, {a}) "
+                f"- 2*list_dot_product({a}, {b}) "
+                f"+ list_dot_product({b}, {b}), 6)")
+
+    code_cols = ", ".join(
+        f"(MIN(struct_pack(d := {dist(j, 'e.embedding', 'c.c_emb')}, "
+        f"c := c.c_id))).c AS code{j}"
+        for j in range(m))
+    luts = ",\n".join(
+        f"lut{j} AS (SELECT q.q_id, c.c_id, "
+        f"{dist(j, 'q.q_emb', 'c.c_emb')} AS d FROM q CROSS JOIN c)"
+        for j in range(m))
+    lut_joins = "\n  ".join(
+        f"JOIN lut{j} l{j} ON l{j}.q_id = l0.q_id "
+        f"AND l{j}.c_id = x.code{j}"
+        for j in range(1, m))
+    dsum = " + ".join(f"l{j}.d" for j in range(m))
+    return f"""
+WITH stepv AS (
+  SELECT CAST(CEIL(COUNT(*) / {n_sub_cents}.0) AS BIGINT) AS step
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id AS c_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id % (SELECT GREATEST(step, 1) FROM stepv) = 0
+),
+codes AS (
+  SELECT e.vec_id, {code_cols}
+  FROM embeddings e CROSS JOIN c GROUP BY e.vec_id
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {n_queries}),
+{luts},
+scored AS (
+  SELECT l0.q_id, x.vec_id, ROUND({dsum}, 6) AS adist
+  FROM codes x
+  JOIN lut0 l0 ON l0.c_id = x.code0
+  {lut_joins}
+  WHERE x.vec_id <> l0.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id)
+           AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, adist, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {k} ORDER BY q_id, rnk
+"""
+
+
+ORACLE_ANN_PQ = _ann_pq_oracle_sql()
+
+
+# --- DSIR importance weights (round 7) ----------------------------------------
+
+def q_dsir_weights(spark, sf_dir, n_buckets: int = 256,
+                   smoothing: float = 0.5, target_lang: str = "en"):
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by the log importance
+    weight log p_target(x) - log p_raw(x) under two hashed-unigram
+    bag-of-words models -- the standard cheap way to select web data
+    that "reads like" a curated target domain.  Target here = the
+    corpus's `lang = target_lang` slice (the available in-table proxy
+    for a curated corpus); features = words hashed into n_buckets via
+    the repo's cross-engine md5 convention (first 8 hex digits ->
+    BIGINT, the q_simhash idiom), add-k smoothed.
+
+    Scale shape: the ONLY corpus-sized exchange is the bucket-count
+    partial agg, whose key space is n_buckets (tiny; map-side
+    combined).  The fitted model (<= n_buckets rows) collapses to ONE
+    broadcast map<bucket, logratio> row; scoring is then a pure
+    map-side transform/aggregate over each doc's word array --
+    document text never shuffles, and no per-doc groupBy exists at
+    all.  Per-bucket log-ratios are pre-rounded to 6dp so the
+    cross-engine sum drift is ~1e-13, far inside the 6dp replay
+    tolerance.  Docs with no words get dsir_logw NULL."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.when(F.length(F.trim("text")) > 0,
+                   F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                   ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", "lang", words.alias("ws"))
+
+    def bucket(col):
+        return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+                .cast("long") % n_buckets)
+
+    a = float(smoothing)
+    cnt = (base.select("lang", F.explode("ws").alias("w"))
+           .select("lang", bucket(F.col("w")).alias("b"))
+           .groupBy("b")
+           .agg(F.count(F.lit(1)).alias("cr"),
+                F.sum(F.when(F.col("lang") == target_lang, 1)
+                      .otherwise(0)).alias("ct")))
+    tot = cnt.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    model = (cnt.crossJoin(F.broadcast(tot))
+             .select("b", F.round(
+                 F.log((F.col("ct") + a) / (F.col("nt") + a * n_buckets))
+                 - F.log((F.col("cr") + a) / (F.col("nr") + a * n_buckets)),
+                 6).alias("logr")))
+    mrow = model.agg(F.map_from_entries(
+        F.collect_list(F.struct("b", "logr"))).alias("lut"))
+    score = F.aggregate(
+        F.transform("ws", lambda x: F.element_at(F.col("lut"), bucket(x))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (base.crossJoin(F.broadcast(mrow))
+            .select("doc_id",
+                    F.size("ws").cast("int").alias("n_words"),
+                    F.when(F.size("ws") > 0,
+                           F.round(score, 6)).alias("dsir_logw"))
+            .orderBy("doc_id"))
+
+
+def _dsir_oracle_sql(n_buckets: int = 256, smoothing: float = 0.5,
+                     target_lang: str = "en") -> str:
+    b = (f"CAST(from_hex(substring(md5({{w}}), 1, 8))::BIT AS BIGINT) "
+         f"% {n_buckets}")
+    a = smoothing
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE WHEN LENGTH(TRIM(text)) > 0
+              THEN regexp_split_to_array(LOWER(TRIM(text)), '\\s+')
+              ELSE [] END AS ws
+  FROM documents
+),
+ex AS (
+  SELECT lang, {b.format(w="u.w")} AS b
+  FROM w, UNNEST(ws) AS u(w)
+),
+cnt AS (
+  SELECT b, COUNT(*) AS cr,
+         SUM(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END) AS ct
+  FROM ex GROUP BY b
+),
+tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM cnt),
+model AS (
+  SELECT b, ROUND(LN((ct + {a}) / (nt + {a} * {n_buckets}))
+               - LN((cr + {a}) / (nr + {a} * {n_buckets})), 6) AS logr
+  FROM cnt CROSS JOIN tot
+),
+doc AS (SELECT w.doc_id, u.w AS word FROM w, UNNEST(ws) AS u(w)),
+sc AS (
+  SELECT d.doc_id, SUM(m.logr) AS s
+  FROM doc d JOIN model m ON m.b = {b.format(w="d.word")}
+  GROUP BY d.doc_id
+)
+SELECT w.doc_id, CAST(LEN(ws) AS INT) AS n_words,
+       CASE WHEN LEN(ws) > 0 THEN ROUND(sc.s, 6) END AS dsir_logw
+FROM w LEFT JOIN sc ON sc.doc_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+
+ORACLE_DSIR = _dsir_oracle_sql()

@@ -211,3 +211,45 @@ def test_pq_encode_properties(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     # all 8 subspace argmins ride ONE aggregate (embeddings cross once)
     assert plan.count("Aggregate(key") <= 2, plan  # partial + final
+
+
+def test_ann_pq_adc_and_rerank(spark):
+    """ADC search audit (q_ann_pq_topk): (a) plain ADC hashes against
+    its DuckDB oracle (covered by the aux replay; here we pin shape);
+    (b) rerank=R recall@5 vs exact L2 equals the shortlist's
+    containment of the exact top-5 and is monotonically >= plain ADC
+    recall; (c) the LUT rides a broadcast (no shuffle of the codes
+    side before the top-k window)."""
+    import duckdb
+    from closure_html_spark.spark import relational as R
+    SF = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    exact = set(map(tuple, con.execute("""
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+           FROM embeddings WHERE vec_id < 3),
+s AS (SELECT q.q_id, e.vec_id,
+        list_dot_product(q.q_emb, q.q_emb)
+        - 2*list_dot_product(q.q_emb, e.embedding::DOUBLE[])
+        + list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+          AS d
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+r AS (SELECT q_id, vec_id,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, vec_id) rnk
+      FROM s)
+SELECT q_id, vec_id FROM r WHERE rnk <= 5""").fetchall()))
+    plain = R.q_ann_pq_topk(spark, SF, k=5)
+    got_plain = {(r["q_id"], r["vec_id"]) for r in plain.collect()}
+    rr = {(r["q_id"], r["vec_id"])
+          for r in R.q_ann_pq_topk(spark, SF, k=5, rerank=100).collect()}
+    rec_plain = len(got_plain & exact) / len(exact)
+    rec_rr = len(rr & exact) / len(exact)
+    assert rec_rr >= rec_plain, (rec_rr, rec_plain)
+    # measured on the pinned corpus (docstring HONEST LIMIT numbers):
+    # random embeddings are PQ's adversarial case, but rerank=100 must
+    # stay at its measured 0.73 containment on this fixed input
+    assert rec_rr >= 0.7, rec_rr
+    plan = plain._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, "LUT join not broadcast"

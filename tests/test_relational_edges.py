@@ -90,3 +90,39 @@ def test_quality_budget_select_edges(spark):
     hi = max(((r.score, r.doc_id) for r in few if not r.selected),
              default=None)
     assert hi is None or hi[0] <= lo[0]
+
+
+def test_dsir_weights_discrimination_and_shape(spark, tmp_path):
+    """DSIR audit: (a) on a corpus where the target slice has a
+    distinctive vocabulary, target-like docs must score strictly higher
+    log importance weights than off-target docs; (b) an empty doc gets
+    n_words=0 / NULL weight; (c) scoring is map-side -- the ONLY hash
+    exchange in the plan is the n_buckets-keyed count agg (no per-doc
+    groupBy of corpus-sized keys)."""
+    from pyspark.sql import functions as F
+    from closure_html_spark.spark import relational as R
+    rows = []
+    for i in range(40):
+        rows.append((i, "wiki prose citation neutral paragraph", "en"))
+    for i in range(40, 80):
+        rows.append((i, "click buy cheap deal spam offer now", "de"))
+    rows.append((80, "", "en"))
+    # a raw doc written in target vocabulary but labeled off-target:
+    # DSIR must still score it HIGH (content, not label, drives it)
+    rows.append((81, "wiki prose citation neutral paragraph", "de"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r
+           for r in R.q_dsir_weights(spark, str(tmp_path)).collect()}
+    assert len(got) == 82
+    assert got[80]["n_words"] == 0 and got[80]["dsir_logw"] is None
+    en_like = got[0]["dsir_logw"]
+    spam = got[40]["dsir_logw"]
+    assert en_like > spam, (en_like, spam)
+    assert got[81]["dsir_logw"] == en_like, "label leaked into scoring"
+    plan = (R.q_dsir_weights(spark, str(tmp_path))
+            ._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    # bucket-count agg = 1 exchange; model map + tot aggs are single-
+    # partition exchanges (tiny); NO exchange keyed on doc_id
+    assert "hashpartitioning(doc_id" not in plan, plan
