@@ -41,7 +41,12 @@ from closure_html_spark.spark.multimodal import (
     q_media_phash_neardup,
 )
 from closure_html_spark.spark.pdfs import ORACLE_PDF_EXTRACT, q_pdf_extract
-from closure_html_spark.spark.warcs import ORACLE_WARC_EXTRACT, q_warc_extract
+from closure_html_spark.spark.warcs import (
+    ORACLE_WARC_EXTRACT,
+    ORACLE_WET_ROUNDTRIP,
+    q_warc_extract,
+    q_wet_roundtrip,
+)
 from closure_html_spark.spark.pipeline import (
     extract_pages,
     jsonld_of,
@@ -836,6 +841,12 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the decode feature, banded hamming join -- exact for
         # hamming<=1 by pigeonhole)
         "media_phash_neardup": q_media_phash_neardup,
+        # round-7 addition: cross-engine-deterministic HyperLogLog
+        # (distinct counts with a 2^p-key exchange, any corpus size)
+        "vocab_hll": R.q_vocab_hll,
+        # round-7 addition: WET (ISO 28500 conversion records) export
+        # surface, gated as an in-engine write->reparse round trip
+        "wet_roundtrip": q_wet_roundtrip,
     }
 
 
@@ -909,6 +920,8 @@ FROM p GROUP BY host ORDER BY n_pages DESC, host
         "ann_pq_topk": R.ORACLE_ANN_PQ,
         "dsir_weights": R.ORACLE_DSIR,
         "media_phash_neardup": ORACLE_MEDIA_PHASH,
+        "vocab_hll": R.ORACLE_VOCAB_HLL,
+        "wet_roundtrip": ORACLE_WET_ROUNDTRIP,
     }
 
 

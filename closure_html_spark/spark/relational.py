@@ -5029,3 +5029,98 @@ ORDER BY w.doc_id
 
 
 ORACLE_DSIR = _dsir_oracle_sql()
+
+
+# --- HyperLogLog cardinality sketch (round 7) ---------------------------------
+
+def q_vocab_hll(spark, sf_dir, p: int = 10):
+    """Corpus vocabulary cardinality via a cross-engine-deterministic
+    HyperLogLog sketch (Flajolet et al. 2007) -- the scale answer to
+    "how many distinct words/URLs are in 10^12 rows" without an exact
+    COUNT(DISTINCT)'s full-key shuffle: the ONLY exchange is the
+    m=2^p-keyed max-rho partial agg (map-side combined; 1024 keys at
+    p=10), constant memory at ANY corpus size.  Spark's built-in
+    approx_count_distinct is the same sketch but its registers are not
+    replayable in DuckDB; this one derives register and rho from the
+    repo's md5 convention (first/second 8 hex digits -> two 32-bit
+    halves), so both engines build the IDENTICAL register file and the
+    aux gate hashes it.
+
+    Determinism ledger: register/rho/zeros are integers; sum_inv is a
+    sum of dyadic rationals 2^-rho (EXACT in IEEE double in any
+    order); the estimate divides exact operands -- only the
+    linear-counting LN differs at ULP level between engines, hence
+    round(3).  Standard corrections: linear counting below 2.5m with
+    zero registers; 32-bit large-range correction omitted (documented:
+    test scale is ~1e3, correction bites at ~1e8 -- use the 64-bit
+    variant there)."""
+    m = 1 << p
+    docs = _t(spark, sf_dir, "documents")
+    words = F.when(F.length(F.trim("text")) > 0,
+                   F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                   ).otherwise(F.array().cast("array<string>"))
+    md5 = F.md5(F.col("w"))
+    h_hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    h_lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    rho = F.when(h_hi == 0, F.lit(33)) \
+        .otherwise(33 - F.length(F.bin(h_hi))).cast("int")
+    regs = (docs.select(F.explode(words).alias("w"))
+            .select((h_lo % m).alias("reg"), rho.alias("rho"))
+            .groupBy("reg").agg(F.max("rho").alias("mx")))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s_present"))
+    zeros = F.lit(m) - F.col("n_present")
+    sum_inv = F.col("s_present") + zeros.cast("double")
+    raw = F.lit(alpha * m * m) / sum_inv
+    est = F.when((raw <= 2.5 * m) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+                 ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        zeros.cast("int").alias("zero_registers"),
+        sum_inv.alias("sum_inv"),
+        F.round(est, 3).alias("est_distinct"))
+
+
+def _vocab_hll_oracle_sql(p: int = 10) -> str:
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return f"""
+WITH w AS (
+  SELECT u.w AS w
+  FROM (SELECT CASE WHEN LENGTH(TRIM(text)) > 0
+               THEN regexp_split_to_array(LOWER(TRIM(text)), '\\s+')
+               ELSE [] END AS ws FROM documents) t, UNNEST(ws) AS u(w)
+),
+h AS (
+  SELECT CAST(from_hex(substring(md5(w), 9, 8))::BIT AS BIGINT) % {m}
+           AS reg,
+         CASE WHEN CAST(from_hex(substring(md5(w), 1, 8))::BIT AS BIGINT)
+                   = 0 THEN 33
+              ELSE 33 - LENGTH(LTRIM(bin(
+                CAST(from_hex(substring(md5(w), 1, 8))::BIT AS BIGINT)),
+                '0')) END AS rho
+  FROM w
+),
+regs AS (SELECT reg, MAX(rho) AS mx FROM h GROUP BY reg),
+agg AS (
+  SELECT COUNT(*) AS n_present,
+         SUM(POW(2.0, -mx)) AS s_present
+  FROM regs
+)
+SELECT CAST({m} AS INT) AS m,
+       CAST({m} - n_present AS INT) AS zero_registers,
+       s_present + ({m} - n_present) AS sum_inv,
+       ROUND(CASE WHEN {alpha * m * m} / (s_present + ({m} - n_present))
+                       <= {2.5 * m}
+                  AND {m} - n_present > 0
+             THEN {float(m)} * LN({float(m)} / ({m} - n_present))
+             ELSE {alpha * m * m} / (s_present + ({m} - n_present))
+             END, 3) AS est_distinct
+FROM agg
+"""
+
+
+ORACLE_VOCAB_HLL = _vocab_hll_oracle_sql()

@@ -43,3 +43,24 @@ def read_jsonl_sharded(spark: SparkSession, path: str,
     return (raw.select(F.from_json("value", schema).alias("r"),
                        shard.cast("long").alias("shard"))
             .select("r.*", "shard"))
+
+
+def write_wet_sharded(df: DataFrame, path: str, n_shards: int = 8,
+                      url_col: str = "url", text_col: str = "text") -> None:
+    """Write extracted text as sharded WET files (ISO 28500 conversion
+    records, the CommonCrawl interchange layout): `shard=K/` dirs via
+    the shared md5 bucket hash, records rendered JVM-side by
+    warcs.wet_record and written with the text sink -- no Python in
+    the write path, no global sort, deterministic shard ownership
+    across runs/retries (same invariants as write_jsonl_sharded).
+    The text writer's row separator adds one LF between records; WET
+    consumers resync on the WARC/ magic and trust Content-Length, so
+    the files re-parse with this repo's own ISO 28500 grammar
+    (round-trip pinned in tests/test_sinks.py)."""
+    from .relational import md5_shard
+    from .warcs import wet_record
+    shard = md5_shard(F.col(url_col), n_shards)
+    rec = wet_record(F.col(url_col), F.col(text_col))
+    (df.select(shard.alias("shard"), rec.alias("value"))
+     .repartition("shard")
+     .write.mode("overwrite").partitionBy("shard").text(path))

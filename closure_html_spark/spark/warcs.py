@@ -141,3 +141,88 @@ SELECT doc_id,
                              -- iso-8859-1 the HTTP header declared
 FROM documents ORDER BY doc_id
 """
+
+
+def wet_record(url_col, text_col,
+               date: str = "2024-01-01T00:00:00Z"):
+    """WET-style conversion record (ISO 28500 §6.8; the CommonCrawl WET
+    layout) as ONE JVM-side string column: WARC header + blank line +
+    the UTF-8 plain-text payload.  Content-Length is the payload's
+    OCTET length (octet_length of the utf-8 encoding, not the char
+    count).  Like real WET writers, the body is not escaped -- a
+    payload containing a literal CRLFCRLF"WARC/" sequence would
+    confuse a magic-resyncing splitter (Content-Length remains
+    authoritative for compliant readers)."""
+    return F.concat(
+        F.lit("WARC/1.0\r\n"
+              "WARC-Type: conversion\r\n"
+              "WARC-Target-URI: "), url_col,
+        F.lit(f"\r\nWARC-Date: {date}\r\n"
+              "Content-Type: text/plain\r\n"
+              "Content-Length: "),
+        F.octet_length(F.encode(text_col, "UTF-8")).cast("string"),
+        F.lit("\r\n\r\n"), text_col, F.lit("\r\n\r\n"))
+
+
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query for the WET export surface: build a conversion record
+    per document JVM-side, parse it BACK through the repo's own ISO
+    28500 grammar (the same Arrow stage the ingest path uses), and
+    report url/type/byte-accounting plus an exact payload match flag.
+    A writer/parser disagreement (header drift, length-vs-chars bug,
+    charset slip) turns `match` to 0 and breaks the closed-form
+    oracle loudly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    url = F.concat(F.lit("https://wet.example/p"),
+                   F.col("doc_id").cast("string"))
+    recs = docs.select(
+        "doc_id", "text",
+        F.encode(wet_record(url, F.col("text")), "UTF-8").alias("record"))
+
+    import pyarrow as pa
+    from ..warc import parse_warc_record
+
+    out_schema = ("doc_id long, url string, warc_type string, "
+                  "content_type string, body_len int, match int")
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            txts = batch.column("text").to_pylist()
+            blobs = batch.column("record").to_pylist()
+            rows = {k: [] for k in ("doc_id", "url", "warc_type",
+                                    "content_type", "body_len", "match")}
+            for i, blob in zip(range(len(ids)), blobs):
+                r = parse_warc_record(bytes(blob))
+                body = r["html"] or b""
+                rows["doc_id"].append(ids[i])
+                rows["url"].append(r["url"])
+                rows["warc_type"].append(r["warc_type"])
+                rows["content_type"].append(r["content_type"])
+                rows["body_len"].append(len(body))
+                rows["match"].append(
+                    1 if body.decode("utf-8", "replace") == txts[i] else 0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rows["doc_id"], type=pa.int64()),
+                 pa.array(rows["url"], type=pa.string()),
+                 pa.array(rows["warc_type"], type=pa.string()),
+                 pa.array(rows["content_type"], type=pa.string()),
+                 pa.array(rows["body_len"], type=pa.int32()),
+                 pa.array(rows["match"], type=pa.int32())],
+                names=["doc_id", "url", "warc_type", "content_type",
+                       "body_len", "match"])
+
+    return (recs.mapInArrow(fn, out_schema)
+            .orderBy("doc_id"))
+
+
+ORACLE_WET_ROUNDTRIP = """
+SELECT doc_id,
+       'https://wet.example/p' || CAST(doc_id AS VARCHAR) AS url,
+       'conversion' AS warc_type,
+       'text/plain' AS content_type,
+       CAST(octet_length(encode(text)) AS INT) AS body_len,
+       1 AS match
+FROM documents ORDER BY doc_id
+"""

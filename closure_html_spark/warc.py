@@ -86,6 +86,12 @@ def parse_warc_record(record: bytes) -> dict:
     out = {**nul, "warc_type": wtype, "url": url, "warc_date": date,
            "error": None}
     is_http = "application/http" in headers.get("content-type", "")
+    if wtype == "conversion":
+        # WET-style conversion record (ISO 28500 §6.8): no HTTP wrapper,
+        # the body IS the converted payload and the WARC-header
+        # Content-Type describes it (text/plain for WET)
+        return {**out, "content_type": headers.get("content-type"),
+                "html": body}
     if wtype != "response" or not is_http:
         return out
     hm = _CRLF2.search(body)

@@ -126,3 +126,35 @@ def test_dsir_weights_discrimination_and_shape(spark, tmp_path):
     # bucket-count agg = 1 exchange; model map + tot aggs are single-
     # partition exchanges (tiny); NO exchange keyed on doc_id
     assert "hashpartitioning(doc_id" not in plan, plan
+
+
+def test_vocab_hll_accuracy_both_branches(spark, tmp_path):
+    """HLL audit: (a) the raw-estimator branch (cardinality >> 2.5m) must
+    land within the sketch's 3-sigma band (~3*1.04/sqrt(1024) = 9.7%) on
+    a 30k-distinct corpus; (b) the linear-counting branch (tiny
+    cardinality) is near-exact; (c) the only wide exchange is the
+    register agg (keys = 2^p), never the word set."""
+    from pyspark.sql import functions as F
+    from closure_html_spark.spark import relational as R
+    # high-cardinality corpus: 3000 docs x 10 unique words each
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit(f"w{j}_"), F.col("id").cast("string"))
+            for j in range(10)]).alias("text"),
+        F.lit("en").alias("lang"))
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    row = R.q_vocab_hll(spark, str(tmp_path)).collect()[0]
+    exact = 30_000
+    rel_err = abs(row["est_distinct"] - exact) / exact
+    assert rel_err < 0.097, (row["est_distinct"], rel_err)
+    assert row["zero_registers"] == 0  # saturated: raw branch taken
+    # linear-counting branch: the pinned tiny corpus (31 distinct words)
+    small = R.q_vocab_hll(spark, "/root/testdata/sf0.001").collect()[0]
+    assert small["zero_registers"] > 0
+    assert abs(small["est_distinct"] - 31) / 31 < 0.05
+    plan = (R.q_vocab_hll(spark, str(tmp_path))
+            ._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "hashpartitioning(reg" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -70,3 +70,28 @@ def test_roundtrip_embedded_newlines_and_quotes(spark, tmp_path):
     back = read_jsonl_sharded(spark, out, "doc_id long, text string")
     got = {r.doc_id: r.text for r in back.collect()}
     assert got == dict(rows)
+
+
+def test_wet_sink_roundtrip(spark, tmp_path):
+    """write_wet_sharded output must re-parse through the repo's own
+    ISO 28500 grammar: every record comes back type=conversion with the
+    exact utf-8 payload, and shard ownership is the shared md5 hash."""
+    import glob
+    from closure_html_spark.spark.sinks import write_wet_sharded
+    from closure_html_spark.warc import parse_warc_record, split_warc_file
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .selectExpr("doc_id",
+                        "'https://wet.example/p' || doc_id AS url",
+                        "text").limit(100))
+    expected = {r["url"]: r["text"] for r in docs.collect()}
+    out = str(tmp_path / "wet")
+    write_wet_sharded(docs, out, n_shards=4)
+    got = {}
+    for f in glob.glob(out + "/shard=*/part-*"):
+        data = open(f, "rb").read()
+        for rec in split_warc_file(data):
+            r = parse_warc_record(rec)
+            assert r["warc_type"] == "conversion", r
+            assert r["content_type"] == "text/plain"
+            got[r["url"]] = r["html"].decode("utf-8")
+    assert got == expected
