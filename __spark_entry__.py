@@ -847,6 +847,10 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 addition: WET (ISO 28500 conversion records) export
         # surface, gated as an in-engine write->reparse round trip
         "wet_roundtrip": q_wet_roundtrip,
+        # round-7 additions: leak-proof hash-stratified eval split and
+        # count-min-sketch frequency estimates (bounded-memory state)
+        "corpus_split": R.q_corpus_split,
+        "cms_word_freq": R.q_cms_word_freq,
     }
 
 
@@ -922,6 +926,8 @@ FROM p GROUP BY host ORDER BY n_pages DESC, host
         "media_phash_neardup": ORACLE_MEDIA_PHASH,
         "vocab_hll": R.ORACLE_VOCAB_HLL,
         "wet_roundtrip": ORACLE_WET_ROUNDTRIP,
+        "corpus_split": R.ORACLE_CORPUS_SPLIT,
+        "cms_word_freq": R.ORACLE_CMS,
     }
 
 

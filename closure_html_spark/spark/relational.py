@@ -5124,3 +5124,134 @@ FROM agg
 
 
 ORACLE_VOCAB_HLL = _vocab_hll_oracle_sql()
+
+
+# --- train/valid/test split (round 7) -----------------------------------------
+
+def q_corpus_split(spark, sf_dir, valid_pct: int = 5, test_pct: int = 5):
+    """Deterministic stratified train/valid/test assignment: split =
+    md5_shard(doc_id, 100) thresholds, so membership is a pure function
+    of doc_id -- re-runs, retries, cluster resizes, and INCREMENTAL
+    corpus growth never move a document across splits (the eval-leak
+    guarantee: a doc that was ever in test can never drift into train).
+    Stratification is free: a uniform hash is uniform within every
+    language slice, no per-stratum pass needed.  Output is the
+    per-(lang, split) audit table a release datasheet carries; the
+    assignment itself is the map-side `split` expression (reusable as
+    a column on any frame).
+
+    Scale shape: one partial-agg pass on (lang, split) keys -- the
+    hash is the SAME md5_shard as the sampler/packer/sinks, so split
+    routing composes with shard layout without a second hash."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = md5_shard(F.col("doc_id"), 100)
+    split = (F.when(bucket < valid_pct, F.lit("valid"))
+             .when(bucket < valid_pct + test_pct, F.lit("test"))
+             .otherwise(F.lit("train")))
+    return (docs.select("lang", split.alias("split"))
+            .groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang", "split"))
+
+
+def _corpus_split_oracle_sql(valid_pct: int = 5, test_pct: int = 5) -> str:
+    b = ("CAST(from_hex(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+         "::BIT AS BIGINT) % 100")
+    return f"""
+SELECT lang,
+       CASE WHEN {b} < {valid_pct} THEN 'valid'
+            WHEN {b} < {valid_pct + test_pct} THEN 'test'
+            ELSE 'train' END AS split,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
+ORACLE_CORPUS_SPLIT = _corpus_split_oracle_sql()
+
+
+# --- count-min sketch heavy-hitter estimates (round 7) ------------------------
+
+def q_cms_word_freq(spark, sf_dir, depth: int = 4, width: int = 256,
+                    probe_doc: int = 0):
+    """Count-min sketch word-frequency estimates (Cormode & Muthu 2005):
+    depth x width counters, row-i column = (md5-derived 32-bit hash of
+    "i:word") % width, estimate = min over rows -- frequency queries
+    over a 10^12-word corpus in depth*width*8 bytes of state instead
+    of a full-vocabulary groupBy.  The CMS guarantee (est >= true, and
+    est <= true + eps*N with eps = e/width at prob 1 - e^-depth) is
+    asserted against exact counts in pytest.
+
+    The registered query builds the sketch and reads it back for a
+    deterministic probe set (the distinct words of doc `probe_doc`) --
+    bounded output, everything md5-derived, so DuckDB replays sketch
+    AND probes bit-for-bit.  Scale shape: ONE partial-agg pass on
+    (row, col) keys (depth*width distinct -- map-side combined), the
+    sketch re-enters as a broadcast, probes are a broadcast-side
+    lookup.  Word extraction reuses the corpus split convention."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.when(F.length(F.trim("text")) > 0,
+                   F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                   ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select("doc_id", F.explode(words).alias("w"))
+
+    def col_of(row, w_col):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{row}:"), w_col)), 1, 8), 16, 10)
+            .cast("long") % width)
+
+    # one pass builds all depth rows: explode the per-row column ids
+    rows_arr = F.array(*[
+        F.struct(F.lit(i).alias("r"), col_of(i, F.col("w")).alias("c"))
+        for i in range(depth)])
+    sketch = (ex.select(F.explode(rows_arr).alias("rc"))
+              .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    probes = (ex.filter(F.col("doc_id") == probe_doc)
+              .select("w").distinct())
+    est = None
+    p = probes
+    for i in range(depth):
+        si = sketch.filter(F.col("r") == i) \
+            .select(F.col("c").alias(f"c{i}"), F.col("n").alias(f"n{i}"))
+        p = p.join(F.broadcast(si), col_of(i, F.col("w")) == F.col(f"c{i}"))
+        e_i = F.col(f"n{i}")
+        est = e_i if est is None else F.least(est, e_i)
+    return (p.select(F.col("w").alias("word"), est.alias("est_count"))
+            .orderBy("word"))
+
+
+def _cms_oracle_sql(depth: int = 4, width: int = 256,
+                    probe_doc: int = 0) -> str:
+    def col_of(row, w):
+        return (f"CAST(from_hex(substring(md5('{row}:' || {w}), 1, 8))"
+                f"::BIT AS BIGINT) % {width}")
+
+    ests = ", ".join(
+        f"(SELECT n FROM sketch s WHERE s.r = {i} "
+        f"AND s.c = {col_of(i, 'p.w')})" for i in range(depth))
+    return f"""
+WITH ex AS (
+  SELECT doc_id, u.w AS w
+  FROM (SELECT doc_id,
+               CASE WHEN LENGTH(TRIM(text)) > 0
+               THEN regexp_split_to_array(LOWER(TRIM(text)), '\\s+')
+               ELSE [] END AS ws FROM documents) t, UNNEST(ws) AS u(w)
+),
+sketch AS (
+  SELECT r.i AS r,
+         CAST(from_hex(substring(
+           md5(CAST(r.i AS VARCHAR) || ':' || ex.w), 1, 8))::BIT
+           AS BIGINT) % {width} AS c,
+         COUNT(*) AS n
+  FROM ex CROSS JOIN (SELECT UNNEST(range({depth})) AS i) r
+  GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT w FROM ex WHERE doc_id = {probe_doc})
+SELECT p.w AS word, LEAST({ests}) AS est_count
+FROM probes p ORDER BY word
+"""
+
+
+ORACLE_CMS = _cms_oracle_sql()

@@ -158,3 +158,53 @@ def test_vocab_hll_accuracy_both_branches(spark, tmp_path):
             .split("== Initial Plan ==")[0])
     assert "hashpartitioning(reg" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_corpus_split_growth_stability_and_proportions(spark, tmp_path):
+    """The split must be a pure function of doc_id: growing the corpus
+    (the incremental-crawl case) cannot move any existing doc across
+    splits -- the eval-leak guarantee -- and observed proportions must
+    track the 5/5/90 thresholds within hash tolerance."""
+    from pyspark.sql import functions as F
+    from closure_html_spark.spark import relational as R
+    bucket = R.md5_shard(F.col("doc_id"), 100)
+    split = (F.when(bucket < 5, "valid").when(bucket < 10, "test")
+             .otherwise("train"))
+    small = spark.range(2000).select(F.col("id").alias("doc_id"),
+                                     split.alias("s"))
+    grown = spark.range(4000).select(F.col("id").alias("doc_id"),
+                                     split.alias("s"))
+    a = dict(small.collect())
+    b = dict(grown.collect())
+    assert all(b[k] == v for k, v in a.items()), "growth moved a doc"
+    from collections import Counter
+    c = Counter(b.values())
+    assert abs(c["valid"] / 4000 - 0.05) < 0.02
+    assert abs(c["test"] / 4000 - 0.05) < 0.02
+    assert c["train"] / 4000 > 0.85
+
+
+def test_cms_overestimate_guarantee_under_collisions(spark, tmp_path):
+    """CMS must NEVER underestimate, and with 30k distinct words rammed
+    into width=256 counters the min-over-depth estimate must stay within
+    the eps*N bound (eps = e/width) for every probe."""
+    import duckdb
+    import math
+    from pyspark.sql import functions as F
+    from closure_html_spark.spark import relational as R
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit(f"w{j}_"), F.col("id").cast("string"))
+            for j in range(10)]).alias("text"),
+        F.lit("en").alias("lang"))
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    est = {r["word"]: r["est_count"]
+           for r in R.q_cms_word_freq(spark, str(tmp_path)).collect()}
+    assert len(est) == 10  # doc 0's 10 unique words
+    n_total = 30_000
+    eps_bound = math.e / 256 * n_total
+    for w, e in est.items():
+        true = 1  # every word in this fixture is unique
+        assert e >= true, (w, e)
+        assert e <= true + eps_bound, (w, e, eps_bound)
