@@ -305,3 +305,88 @@ def stream_frontier(pages: DataFrame, n_groups: int = 64,
                .select("url", "src_url"))
     return stream_dedup(out, key_col="url", n_groups=n_groups,
                         m_bits=m_bits, out_cols="url string, src_url string")
+
+
+def stream_cardinality(df: DataFrame, key_col: str = "url",
+                       p: int = 10, n_groups: int = 8) -> DataFrame:
+    """Streaming distinct-count sketch (HyperLogLog registers as
+    applyInPandasWithState state): "how many distinct urls has this
+    crawl seen, ever" over an unbounded stream in 2^p bytes of TOTAL
+    state -- the streaming twin of relational.q_vocab_hll, using the
+    IDENTICAL md5-derived register/rho convention, so the stream's
+    merged register file is bit-equal to a batch recompute over the
+    union of everything ingested (asserted in tests/test_streaming.py).
+
+    Register/rho are JVM-side column math (no per-row Python); each
+    state group owns the register slice {reg : reg % n_groups == grp}
+    as a dense uint8 array (2^p / n_groups bytes, max rho 33 fits a
+    byte), merged per batch with numpy scatter-max -- HLL merge IS max,
+    which also makes restarts/retries idempotent by construction.  Each
+    batch emits one (grp, n_present, sum_inv) row per group; combine
+    the LATEST row per group with hll_estimate() for the corpus-wide
+    estimate.  State never grows: 1 KB total at p=10 whether the
+    stream has seen 10^3 or 10^12 keys."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    m = 1 << p
+    if m % n_groups:
+        raise ValueError("n_groups must divide 2^p")
+    n_local = m // n_groups
+
+    md5 = F.md5(F.col(key_col).cast("string"))
+    h_hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    h_lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    reg = h_lo % m
+    rho = F.when(h_hi == F.lit(0), F.lit(33)) \
+        .otherwise(33 - F.length(F.bin(h_hi)))
+    keyed = df.select(reg.alias("reg"), rho.cast("int").alias("rho"),
+                      (reg % n_groups).cast("int").alias("grp"))
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            regs = np.frombuffer(state.get[0], dtype=np.uint8).copy()
+        else:
+            regs = np.zeros(n_local, dtype=np.uint8)
+        changed = False
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            li = pdf["reg"].to_numpy(dtype=np.int64) // n_groups
+            rh = pdf["rho"].to_numpy(dtype=np.int64).astype(np.uint8)
+            np.maximum.at(regs, li, rh)
+            changed = True
+        if changed:
+            state.update((regs.tobytes(),))
+        present = regs > 0
+        sum_inv = float(
+            np.power(2.0, -regs[present].astype(np.float64)).sum()
+            + (n_local - int(present.sum())))
+        yield pd.DataFrame({"grp": [int(key[0])],
+                            "n_present": [int(present.sum())],
+                            "sum_inv": [sum_inv]})
+
+    return keyed.groupBy("grp").applyInPandasWithState(
+        fn,
+        outputStructType="grp int, n_present int, sum_inv double",
+        stateStructType="regs binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def hll_estimate(group_rows, p: int = 10) -> float:
+    """Combine stream_cardinality's per-group rows (the LATEST row per
+    grp) into the corpus-wide HLL estimate -- the same estimator (raw +
+    linear-counting branch) as relational.q_vocab_hll."""
+    import math
+    m = 1 << p
+    sum_inv = sum(r["sum_inv"] for r in group_rows)
+    n_present = sum(r["n_present"] for r in group_rows)
+    zeros = m - n_present
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / sum_inv
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return raw

@@ -43,6 +43,7 @@ def test_spark_submit_pyfiles(tmp_path):
          "--output", str(out_dir),
          "--buckets", "8", "--group-size", "8",
          "--export-jsonl", str(tmp_path / "jsonl"),
+         "--export-wet", str(tmp_path / "wet"),
          "--export-shards", "4"],
         capture_output=True, text=True, timeout=600, env=env,
         cwd=str(tmp_path))  # cwd outside the repo: no implicit imports
@@ -67,3 +68,14 @@ def test_spark_submit_pyfiles(tmp_path):
     jl = spark.read.json(str(tmp_path / "jsonl" / "shard=*"))
     assert jl.count() == 500
     assert {"url", "title", "main_text"} <= set(jl.columns)
+
+    # the WET export landed and re-parses through the repo's own grammar
+    assert summary["exported_wet"] == str(tmp_path / "wet")
+    from closure_html_spark.warc import parse_warc_record, split_warc_file
+    n_rec = 0
+    for f in (tmp_path / "wet").glob("shard=*/part-*"):
+        for rec in split_warc_file(f.read_bytes()):
+            r = parse_warc_record(rec)
+            assert r["warc_type"] == "conversion"
+            n_rec += 1
+    assert n_rec == 500

@@ -402,3 +402,86 @@ def test_stream_dedup_bloom_fpr_matches_formula(spark, tmp_path_factory):
     assert abs(observed - predicted) <= 0.4 * predicted, \
         f"observed FPR {observed:.4f} vs formula {predicted:.4f} " \
         f"(n={inserted}, m={m_bits}, k={k})"
+
+
+def test_stream_cardinality_matches_batch_registers(spark,
+                                                    tmp_path_factory):
+    """Streaming HLL: (a) the estimate after each wave tracks the true
+    distinct count within the sketch's error band; (b) re-ingesting the
+    SAME keys does not move the estimate (merge = max is idempotent);
+    (c) the streamed register summaries are IDENTICAL to a batch
+    recompute over the union of all ingested data -- the determinism
+    claim that makes the sketch auditable."""
+    from pyspark.sql import functions as F
+
+    from closure_html_spark.spark.streaming import (
+        hll_estimate, stream_cardinality)
+
+    in_dir = str(tmp_path_factory.mktemp("card_in"))
+    out_dir = str(tmp_path_factory.mktemp("card_out"))
+    ckpt = str(tmp_path_factory.mktemp("card_ckpt"))
+
+    def urls(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("https://h"), (F.col("id") % 97).cast("string"),
+                     F.lit(".example/p"), F.col("id").cast("string"))
+            .alias("url"))
+
+    def run():
+        stream = spark.readStream.schema("url string").parquet(in_dir)
+        q = (stream_cardinality(stream, n_groups=8)
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    def latest_estimate():
+        import pandas as pd
+        got = spark.read.parquet(out_dir).toPandas()
+        # batch id is implicit in file order; the LATEST row per grp has
+        # the max n_present (registers only ever grow under max-merge)
+        rows = (got.sort_values(["grp", "n_present"])
+                .groupby("grp").last().reset_index()
+                .to_dict("records"))
+        return hll_estimate(rows), rows
+
+    urls(0, 4000).repartition(2).write.mode("append").parquet(in_dir)
+    run()
+    est1, _ = latest_estimate()
+    assert abs(est1 - 4000) / 4000 < 0.15, est1
+
+    # wave 2: all duplicates -- estimate must not move
+    urls(0, 4000).repartition(2).write.mode("append").parquet(in_dir)
+    run()
+    est2, _ = latest_estimate()
+    assert est2 == est1, (est2, est1)
+
+    # wave 3: 4000 new keys across a restart (state from checkpoint)
+    urls(4000, 8000).repartition(2).write.mode("append").parquet(in_dir)
+    run()
+    est3, rows = latest_estimate()
+    assert abs(est3 - 8000) / 8000 < 0.15, est3
+
+    # determinism: streamed register summaries == batch recompute
+    m, n_groups = 1 << 10, 8
+    md5 = F.md5(F.col("url"))
+    h_hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    h_lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    batch = (urls(0, 8000)
+             .select((h_lo % m).alias("reg"),
+                     F.when(h_hi == 0, 33)
+                     .otherwise(33 - F.length(F.bin(h_hi))).alias("rho"))
+             .groupBy("reg").agg(F.max("rho").alias("mx")))
+    import collections
+    per_grp = collections.defaultdict(lambda: [0, 0.0])
+    n_local = m // n_groups
+    mx = {r["reg"]: r["mx"] for r in batch.collect()}
+    for g in range(n_groups):
+        present = [mx[r] for r in range(g, m, n_groups) if r in mx]
+        per_grp[g][0] = len(present)
+        per_grp[g][1] = sum(2.0 ** -v for v in present) \
+            + (n_local - len(present))
+    for r in rows:
+        g = r["grp"]
+        assert r["n_present"] == per_grp[g][0], g
+        assert abs(r["sum_inv"] - per_grp[g][1]) < 1e-12, g

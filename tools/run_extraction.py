@@ -39,6 +39,11 @@ def main(argv=None):
                          "md5(doc_id): assignments agree only for equal "
                          "shard_key and shard count)")
     ap.add_argument("--export-shards", type=int, default=64)
+    ap.add_argument("--export-wet", metavar="DIR", default=None,
+                    help="additionally export the extracted text as "
+                         "sharded WET files (ISO 28500 conversion "
+                         "records, the CommonCrawl interchange layout; "
+                         "same md5(url) shard hash as --export-jsonl)")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("chs-extract").getOrCreate()
@@ -56,13 +61,23 @@ def main(argv=None):
             n_shards=args.export_shards, shard_key="url")
         return args.export_jsonl
 
+    def _export_wet(out_df):
+        if not args.export_wet:
+            return None
+        from closure_html_spark.spark.sinks import write_wet_sharded
+        write_wet_sharded(out_df, args.export_wet,
+                          n_shards=args.export_shards,
+                          url_col="url", text_col="main_text")
+        return args.export_wet
+
     if args.streaming:
         q = stream_extract(spark, args.input, f"{args.output}/extracted",
                            f"{args.output}/_checkpoint", available_now=True)
         q.awaitTermination()
         out = spark.read.parquet(f"{args.output}/extracted")
         print(json.dumps({"mode": "streaming", "rows": out.count(),
-                          "exported_jsonl": _export(out)}))
+                          "exported_jsonl": _export(out),
+                          "exported_wet": _export_wet(out)}))
         return 0
 
     if args.input.startswith("synth:"):
@@ -81,7 +96,8 @@ def main(argv=None):
                       "skipped_buckets": len(res["skipped"]),
                       "cleaned_partial": res["cleaned_partial"],
                       "run_id": res["run_id"],
-                      "exported_jsonl": _export(out)}))
+                      "exported_jsonl": _export(out),
+                      "exported_wet": _export_wet(out)}))
     return 0
 
 
