@@ -258,3 +258,31 @@ def test_registry_wide_plan_discipline(spark):
                 or (marks and name not in bnlj_ok)):
             offenders[name] = marks
     assert not offenders, offenders
+
+
+def test_aux_registry_plan_discipline(spark):
+    """The aux registry gets the same sweep as the driver window, with
+    the documented exceptions spelled out per query: CartesianProduct
+    ONLY in embedding_neardup (the retained exact O(N^2) recall
+    reference); BroadcastNestedLoopJoin only where the broadcast side
+    is provably tiny (PQ codebook: 16 rows; ADC LUT: n_queries rows;
+    DSIR totals/model map: 1 row each; corpus-stat one-row aggregates).
+    Everything else: no Python UDFs, no cartesians, no BNLJ."""
+    import __spark_entry__ as entry_mod
+    cartesian_ok = {"embedding_neardup"}
+    # exactly the queries whose plans carry a BNLJ today (measured);
+    # anything new joining this set must justify its broadcast side
+    bnlj_ok = {"embedding_neardup", "lm_perplexity", "ppl_buckets",
+               "pq_encode", "ann_pq_topk", "dsir_weights"}
+    offenders = {}
+    for name, fn in entry_mod.aux_queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        marks = [m for m in ("BatchEvalPython", "CartesianProduct",
+                             "BroadcastNestedLoopJoin") if m in plan]
+        bad = ("BatchEvalPython" in marks
+               or ("CartesianProduct" in marks and name not in cartesian_ok)
+               or ("BroadcastNestedLoopJoin" in marks
+                   and name not in bnlj_ok))
+        if bad:
+            offenders[name] = marks
+    assert not offenders, offenders
