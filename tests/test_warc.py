@@ -96,3 +96,31 @@ def test_records_to_pages_stage(spark):
                     F.sum((F.col("http_status") == 200).cast("int"))
                     .alias("ok")).collect()[0]
     assert agg["n"] == agg["ok"]
+
+
+def test_conversion_record_roundtrip_fuzz():
+    """Property fuzz (pure Python, mirrors warcs.wet_record's format):
+    any unicode payload -- including CRLFs, nulls, WARC-like prefixes
+    inside the body -- must round-trip through parse_warc_record via
+    the Content-Length path."""
+    import random
+
+    from closure_html_spark.warc import parse_warc_record
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = ("abc \t\r\n\x00äöü世界" + "WARC/1.0:-")
+    for trial in range(200):
+        body = "".join(rng.choice(alphabet)
+                       for _ in range(rng.randrange(0, 400)))
+        raw = body.encode("utf-8")
+        rec = ("WARC/1.0\r\n"
+               "WARC-Type: conversion\r\n"
+               f"WARC-Target-URI: https://f.example/{trial}\r\n"
+               "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+               "Content-Type: text/plain\r\n"
+               f"Content-Length: {len(raw)}\r\n\r\n").encode("ascii") \
+            + raw + b"\r\n\r\n"
+        r = parse_warc_record(rec)
+        assert r["warc_type"] == "conversion"
+        assert r["content_type"] == "text/plain"
+        assert r["html"] == raw, trial
