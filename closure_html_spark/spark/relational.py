@@ -4791,9 +4791,18 @@ def q_ann_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
     Lloyd refinement of the codebook does NOT improve it (swept 0-4
     iters: flat).  On real embedding corpora the manifold is what PQ
     exploits; the operator shape is unchanged."""
-    d_sub = 64 // m
     codes, cents = _pq_codes(spark, sf_dir, m, n_sub_cents, n_rows)
     emb = _t(spark, sf_dir, "embeddings")
+    return _adc_topk(codes, cents, emb, k=k, n_queries=n_queries, m=m,
+                     rerank=rerank)
+
+
+def _adc_topk(codes, cents, emb, k: int, n_queries: int, m: int,
+              rerank: int | None):
+    """ADC scoring core shared by q_ann_pq_topk (inline encode) and
+    q_ann_pq_index_topk (persisted index): broadcast per-query LUT maps,
+    map-side element_at sums, top-k window, optional exact-rerank tail."""
+    d_sub = 64 // m
     qs = (emb.filter(F.col("vec_id") < n_queries)
           .select(F.col("vec_id").alias("q_id"),
                   F.col("embedding").alias("q_emb")))
@@ -4830,6 +4839,36 @@ def q_ann_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
             .filter(F.col("rnk") <= k)
             .select("q_id", "vec_id", "adist", "rnk")
             .orderBy("q_id", "rnk"))
+
+
+def build_pq_index(spark, sf_dir, out_path: str, m: int = 8,
+                   n_sub_cents: int = 16, n_rows: int | None = None):
+    """Materialize the PQ index -- codes + codebook parquet -- the
+    "encode once, search many" serving flow (the inline q_ann_pq_topk
+    re-encodes per query; a 100-TB corpus encodes ONCE and every later
+    search reads 4-byte codes).  Same persisted-index split as
+    incremental_dedup: the big side (codes) is written partitioned and
+    never re-shuffled by searches; the codebook is a 16-row table any
+    search broadcasts."""
+    codes, cents = _pq_codes(spark, sf_dir, m, n_sub_cents, n_rows)
+    codes.write.mode("overwrite").parquet(f"{out_path}/codes")
+    cents.write.mode("overwrite").parquet(f"{out_path}/codebook")
+    return out_path
+
+
+def q_ann_pq_index_topk(spark, index_path: str, sf_dir, k: int = 5,
+                        n_queries: int = 3, m: int = 8,
+                        rerank: int | None = None):
+    """ADC search over a PERSISTED PQ index (build_pq_index output):
+    identical results to the inline q_ann_pq_topk by construction
+    (asserted in tests/test_lsh_scale.py) -- the search-side plan never
+    touches the raw embeddings except for the query rows themselves
+    (and the rerank shortlist if enabled)."""
+    codes = spark.read.parquet(f"{index_path}/codes")
+    cents = spark.read.parquet(f"{index_path}/codebook")
+    emb = _t(spark, sf_dir, "embeddings")
+    return _adc_topk(codes, cents, emb, k=k, n_queries=n_queries, m=m,
+                     rerank=rerank)
 
 
 def _pq_oracle_sql(m: int = 8, n_sub_cents: int = 16) -> str:

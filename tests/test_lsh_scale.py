@@ -253,3 +253,20 @@ SELECT q_id, vec_id FROM r WHERE rnk <= 5""").fetchall()))
     plan = plain._jdf.queryExecution().executedPlan().toString() \
         .split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan, "LUT join not broadcast"
+
+
+def test_pq_persisted_index_matches_inline(spark, tmp_path):
+    """build_pq_index + q_ann_pq_index_topk must reproduce the inline
+    q_ann_pq_topk EXACTLY (both plain ADC and the rerank tail) -- the
+    encode-once/search-many serving flow cannot drift from the gated
+    inline path."""
+    from closure_html_spark.spark import relational as R
+    SF = "/root/testdata/sf0.001"
+    idx = R.build_pq_index(spark, SF, str(tmp_path / "pq_index"))
+    for rerank in (None, 50):
+        inline = [tuple(r) for r in
+                  R.q_ann_pq_topk(spark, SF, k=5, rerank=rerank).collect()]
+        from_idx = [tuple(r) for r in
+                    R.q_ann_pq_index_topk(spark, idx, SF, k=5,
+                                          rerank=rerank).collect()]
+        assert inline == from_idx, rerank
