@@ -851,6 +851,9 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count-min-sketch frequency estimates (bounded-memory state)
         "corpus_split": R.q_corpus_split,
         "cms_word_freq": R.q_cms_word_freq,
+        # round-7 addition: the full PQ serving system (IVF cells prune,
+        # ADC scores the survivors from 4-byte codes)
+        "ann_ivfadc_topk": R.q_ann_ivfadc_topk,
     }
 
 
@@ -928,6 +931,7 @@ FROM p GROUP BY host ORDER BY n_pages DESC, host
         "wet_roundtrip": ORACLE_WET_ROUNDTRIP,
         "corpus_split": R.ORACLE_CORPUS_SPLIT,
         "cms_word_freq": R.ORACLE_CMS,
+        "ann_ivfadc_topk": R.ORACLE_ANN_IVFADC,
     }
 
 

@@ -5294,3 +5294,181 @@ FROM probes p ORDER BY word
 
 
 ORACLE_CMS = _cms_oracle_sql()
+
+
+# --- IVFADC: coarse cells + compressed-domain scoring (round 7) ---------------
+
+def q_ann_ivfadc_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
+                      n_cells: int = 16, n_probe: int = 4, m: int = 8,
+                      n_sub_cents: int = 16, n_rows: int | None = None):
+    """IVFADC (Jegou et al. 2011 §IV): the full PQ serving system --
+    the IVF coarse quantizer prunes the corpus to n_probe cells
+    (~n_probe/n_cells of N candidates), then ADC scores ONLY those
+    candidates from their 4-byte codes.  This is the shape a 100-TB
+    embedding index actually serves: sub-linear candidate count
+    (n_probe * N/n_cells with n_cells ~ sqrt N) times 64x less memory
+    bandwidth per candidate; the raw float table is never read by a
+    search at all.
+
+    Deviation from the paper, documented: codes quantize the RAW
+    vectors, not the per-cell residuals (residual PQ couples the
+    codebook to the coarse cells for somewhat better recall; raw-vector
+    PQ keeps ONE corpus-wide codebook -- the variant several production
+    systems ship -- and keeps the DuckDB oracle assemblable from the
+    same CTEs as the IVF and PQ gates).  Coarse side reuses the IVF
+    conventions bit-for-bit (cosine cells, smallest-c_id tie-break);
+    scoring reuses the ADC conventions (6dp-rounded subspace L2, fixed
+    j-order sum).  Exchanges: the two index builds' partial aggs plus
+    the top-k window -- candidates ride (q_id, vec_id) ids into a
+    broadcast, embeddings never shuffle."""
+    import math
+    emb = _t(spark, sf_dir, "embeddings")
+    n = _embeddings_n_rows(emb, sf_dir, n_rows)
+    step = max(1, math.ceil(n / n_cells))
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cents = (emb.filter(F.col("vec_id") % step == 0)
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("c_emb"),
+                     norm(F.col("embedding")).alias("c_norm")))
+    ev = emb.select("vec_id", "embedding",
+                    norm(F.col("embedding")).alias("v_norm"))
+    sim_c = F.round(_dot_expr(F.col("embedding"), F.col("c_emb")) /
+                    (F.col("v_norm") * F.col("c_norm")), 6)
+    pairs = (ev.crossJoin(F.broadcast(cents))
+             .select("vec_id", "c_id", sim_c.alias("sim_c")))
+    cells = (pairs.groupBy("vec_id")
+             .agg(F.max(F.struct(F.col("sim_c").alias("s"),
+                                 (-F.col("c_id")).alias("nc"))).alias("x"))
+             .select("vec_id", (-F.col("x.nc")).alias("cell")))
+    wq = Window.partitionBy("q_id").orderBy(F.desc("sim_c"), "c_id")
+    probes = (pairs.filter(F.col("vec_id") < n_queries)
+              .select(F.col("vec_id").alias("q_id"), "c_id", "sim_c")
+              .withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= n_probe)
+              .select("q_id", F.col("c_id").alias("cell")))
+    cand = (F.broadcast(probes).join(cells, "cell")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id"))
+    # compressed-domain scoring: candidates x broadcast LUT maps
+    d_sub = 64 // m
+    codes, pq_cents = _pq_codes(spark, sf_dir, m, n_sub_cents, n_rows)
+    qs = (emb.filter(F.col("vec_id") < n_queries)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb")))
+    lut = (F.broadcast(qs).crossJoin(F.broadcast(pq_cents))
+           .groupBy("q_id").agg(*[
+               F.map_from_entries(F.collect_list(F.struct(
+                   F.col("c_id"),
+                   _pq_subdist(F.col("q_emb"), F.col("c_emb"), j, d_sub)
+                   .alias("d")))).alias(f"lut{j}")
+               for j in range(m)]))
+    adist = None
+    for j in range(m):
+        term = F.element_at(F.col(f"lut{j}"), F.col(f"code{j}"))
+        adist = term if adist is None else adist + term
+    scored = (codes.join(F.broadcast(cand), "vec_id")
+              .join(F.broadcast(lut), "q_id")
+              .select("q_id", "vec_id", F.round(adist, 6).alias("adist")))
+    w = Window.partitionBy("q_id").orderBy("adist", "vec_id")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("q_id", "vec_id", "adist", "rnk")
+            .orderBy("q_id", "rnk"))
+
+
+def _ann_ivfadc_oracle_sql(k: int = 5, n_queries: int = 3,
+                           n_cells: int = 16, n_probe: int = 4,
+                           m: int = 8, n_sub_cents: int = 16) -> str:
+    """IVF cell/probe CTEs (from the IVF oracle) + PQ codes/LUT CTEs
+    (from the ADC oracle), joined on the candidate set."""
+    d_sub = 64 // m
+    sim_ec = _IVF_COS.format(a="e", b="c")
+
+    def dist(j, x, c):
+        a = f"array_slice({x}::DOUBLE[], {j*d_sub+1}, {(j+1)*d_sub})"
+        b = f"array_slice({c}::DOUBLE[], {j*d_sub+1}, {(j+1)*d_sub})"
+        return (f"ROUND(list_dot_product({a}, {a}) "
+                f"- 2*list_dot_product({a}, {b}) "
+                f"+ list_dot_product({b}, {b}), 6)")
+
+    code_cols = ", ".join(
+        f"(MIN(struct_pack(d := {dist(j, 'e.embedding', 'pc.c_emb')}, "
+        f"c := pc.c_id))).c AS code{j}"
+        for j in range(m))
+    luts = ",\n".join(
+        f"lut{j} AS (SELECT q.q_id, pc.c_id, "
+        f"{dist(j, 'q.q_emb', 'pc.c_emb')} AS d "
+        f"FROM q CROSS JOIN pqc pc)"
+        for j in range(m))
+    lut_joins = "\n  ".join(
+        f"JOIN lut{j} l{j} ON l{j}.q_id = cd.q_id "
+        f"AND l{j}.c_id = x.code{j}"
+        for j in range(m))
+    dsum = " + ".join(f"l{j}.d" for j in range(m))
+    return f"""
+WITH stepv AS (
+  SELECT CAST(CEIL(COUNT(*) / {n_cells}.0) AS BIGINT) AS step
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS c_id, embedding
+  FROM embeddings WHERE vec_id % (SELECT GREATEST(step, 1) FROM stepv) = 0
+),
+sims AS (
+  SELECT e.vec_id, c.c_id, {sim_ec} AS sim_c
+  FROM embeddings e CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT vec_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim_c DESC, c_id) AS rn
+    FROM sims) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, c_id AS cell FROM (
+    SELECT vec_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim_c DESC, c_id) AS rn
+    FROM sims WHERE vec_id < {n_queries}) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.q_id, a.vec_id
+  FROM probes p JOIN cells a USING (cell)
+  WHERE a.vec_id <> p.q_id
+),
+pqstep AS (
+  SELECT CAST(CEIL(COUNT(*) / {n_sub_cents}.0) AS BIGINT) AS step
+  FROM embeddings
+),
+pqc AS (
+  SELECT vec_id AS c_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id % (SELECT GREATEST(step, 1) FROM pqstep) = 0
+),
+codes AS (
+  SELECT e.vec_id, {code_cols}
+  FROM embeddings e CROSS JOIN pqc pc GROUP BY e.vec_id
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {n_queries}),
+{luts},
+scored AS (
+  SELECT cd.q_id, cd.vec_id, ROUND({dsum}, 6) AS adist
+  FROM cand cd
+  JOIN codes x ON x.vec_id = cd.vec_id
+  {lut_joins}
+),
+ranked AS (
+  SELECT q_id, vec_id, adist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY adist, vec_id) AS INT) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, adist, rnk FROM ranked WHERE rnk <= {k}
+ORDER BY q_id, rnk
+"""
+
+
+ORACLE_ANN_IVFADC = _ann_ivfadc_oracle_sql()

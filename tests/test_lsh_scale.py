@@ -270,3 +270,33 @@ def test_pq_persisted_index_matches_inline(spark, tmp_path):
                     R.q_ann_pq_index_topk(spark, idx, SF, k=5,
                                           rerank=rerank).collect()]
         assert inline == from_idx, rerank
+
+
+def test_ivfadc_candidate_pruning(spark):
+    """IVFADC audit: the scored candidate set must be exactly the probed
+    cells' population (minus self) -- i.e. the coarse quantizer really
+    prunes, no silent fallback to a full scan -- and the top-k is the
+    ADC ranking restricted to those candidates."""
+    import duckdb
+    from closure_html_spark.spark import relational as R
+    SF = "/root/testdata/sf0.001"
+    n = R._parquet_n_rows(SF, "embeddings")
+    got = R.q_ann_ivfadc_topk(spark, SF, k=5, n_probe=4).collect()
+    assert len(got) == 15
+    # per-query candidate count from the oracle's cand CTE: strictly
+    # sublinear (4 of 16 cells ~= 25% of the corpus at this toy scale)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    sql = R.ORACLE_ANN_IVFADC
+    cand_sql = sql[:sql.index("pqstep")].rstrip().rstrip(",") + \
+        "\nSELECT q_id, COUNT(*) AS n FROM cand GROUP BY q_id"
+    for q_id, n_cand in con.execute(cand_sql).fetchall():
+        assert 0 < n_cand < 0.6 * n, (q_id, n_cand, n)
+    # the ADC scores of the returned rows agree with the plain-ADC
+    # ranking restricted to the candidate set (same LUT conventions)
+    full = {(r["q_id"], r["vec_id"]): r["adist"]
+            for r in R.q_ann_pq_topk(spark, SF, k=n).collect()}
+    for r in got:
+        key = (r["q_id"], r["vec_id"])
+        assert key in full and full[key] == r["adist"], key
