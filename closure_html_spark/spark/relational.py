@@ -5398,7 +5398,7 @@ def _ann_ivfadc_oracle_sql(k: int = 5, n_queries: int = 3,
         f"c := pc.c_id))).c AS code{j}"
         for j in range(m))
     luts = ",\n".join(
-        f"lut{j} AS (SELECT q.q_id, pc.c_id, "
+        f"lut{j} AS MATERIALIZED (SELECT q.q_id, pc.c_id, "
         f"{dist(j, 'q.q_emb', 'pc.c_emb')} AS d "
         f"FROM q CROSS JOIN pqc pc)"
         for j in range(m))
@@ -5416,7 +5416,7 @@ cents AS (
   SELECT vec_id AS c_id, embedding
   FROM embeddings WHERE vec_id % (SELECT GREATEST(step, 1) FROM stepv) = 0
 ),
-sims AS (
+sims AS MATERIALIZED (
   SELECT e.vec_id, c.c_id, {sim_ec} AS sim_c
   FROM embeddings e CROSS JOIN cents c
 ),
@@ -5434,7 +5434,7 @@ probes AS (
                               ORDER BY sim_c DESC, c_id) AS rn
     FROM sims WHERE vec_id < {n_queries}) WHERE rn <= {n_probe}
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT p.q_id, a.vec_id
   FROM probes p JOIN cells a USING (cell)
   WHERE a.vec_id <> p.q_id
@@ -5447,7 +5447,7 @@ pqc AS (
   SELECT vec_id AS c_id, embedding AS c_emb
   FROM embeddings WHERE vec_id % (SELECT GREATEST(step, 1) FROM pqstep) = 0
 ),
-codes AS (
+codes AS MATERIALIZED (
   SELECT e.vec_id, {code_cols}
   FROM embeddings e CROSS JOIN pqc pc GROUP BY e.vec_id
 ),
