@@ -854,6 +854,9 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 addition: the full PQ serving system (IVF cells prune,
         # ADC scores the survivors from 4-byte codes)
         "ann_ivfadc_topk": R.q_ann_ivfadc_topk,
+        # round-7 addition: deterministic HDR-binned quantile sketch
+        # (the replayable t-digest stand-in; 16 sub-bins/octave)
+        "token_quantiles": R.q_token_quantiles,
     }
 
 
@@ -932,6 +935,7 @@ FROM p GROUP BY host ORDER BY n_pages DESC, host
         "corpus_split": R.ORACLE_CORPUS_SPLIT,
         "cms_word_freq": R.ORACLE_CMS,
         "ann_ivfadc_topk": R.ORACLE_ANN_IVFADC,
+        "token_quantiles": R.ORACLE_TOKEN_QUANTILES,
     }
 
 

@@ -3589,7 +3589,8 @@ def q_ppl_buckets(spark, sf_dir, top_vocab: int = 500, k: float = 0.5):
     Scale shape: the cutoffs reduce to ONE ROW (exact interpolated
     percentile here for cross-engine determinism at test scale; at
     10^12 docs swap in approx_percentile -- a mergeable t-digest
-    partial agg -- and the rest of the plan is unchanged) broadcast
+    partial agg -- or the repo's own replayable q_token_quantiles
+    HDR-bin sketch, and the rest of the plan is unchanged) broadcast
     back over the scored frame; the label projection is map-side.
     Output carries no floats, but the labels depend on float ppl /
     percentile values computed independently in Spark and DuckDB
@@ -5472,3 +5473,102 @@ ORDER BY q_id, rnk
 
 
 ORACLE_ANN_IVFADC = _ann_ivfadc_oracle_sql()
+
+
+# --- deterministic quantile sketch (round 7) ----------------------------------
+
+def q_token_quantiles(spark, sf_dir, quantiles=(0.5, 0.9, 0.99)):
+    """Per-doc token-count quantiles from a DETERMINISTIC HDR-style
+    histogram sketch -- the replayable stand-in for t-digest the
+    ppl_buckets docstring promises at 10^12 docs: t-digest centroids
+    depend on merge order (non-deterministic under Spark's partial
+    aggs), while fixed log-bins are a pure function of the value, so
+    two engines -- or two cluster runs -- build the IDENTICAL sketch.
+
+    Binning: values 0-15 exact (bin = v); larger values keep 4 mantissa
+    bits after the leading 1 (e = bitlen-1, sub = v >> (e-4) & 15,
+    bin = 16*(e-3) + sub), i.e. 16 sub-bins per octave => relative
+    error <= 2^-4 = 6.25% per estimate, ~600 bins for the full int
+    range.  Estimate = bin LOWER bound at the ceil(q*N)-th rank
+    (deterministic downward bias inside one bin, documented).
+
+    Scale shape: ONE partial agg on <= ~600 bin keys; the rank walk is
+    a window over the bin table itself (hundreds of rows -- the
+    single-partition window is over sketch state, never the corpus).
+    Accuracy vs exact percentile pinned in tests."""
+    docs = _t(spark, sf_dir, "documents")
+    v = F.when(F.length(F.trim("text")) > 0,
+               F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+               ).otherwise(F.lit(0)).cast("long")
+    e = F.length(F.bin(F.col("v"))) - 1
+    sub = (F.col("v") / F.pow(F.lit(2.0), (e - 4).cast("double")))\
+        .cast("long") % 16
+    bin_ = F.when(F.col("v") < 16, F.col("v")) \
+        .otherwise(16 * (e - 3) + sub)
+    lo = F.when(F.col("bin") < 16, F.col("bin")) \
+        .otherwise(((F.col("bin") % 16 + 16)
+                    * F.pow(F.lit(2.0),
+                            (F.floor(F.col("bin") / 16) + 3 - 4)
+                            .cast("double"))).cast("long"))
+    hist = (docs.select(v.alias("v")).select(bin_.alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = (hist.withColumn("cum", F.sum("n").over(wcum))
+           .crossJoin(F.broadcast(
+               hist.agg(F.sum("n").alias("total"))))
+           .withColumn("lo", lo))
+    out = None
+    for q in quantiles:
+        rank = F.ceil(F.lit(float(q)) * F.col("total"))
+        hit = (cum.filter(F.col("cum") >= rank)
+               .orderBy("bin").limit(1)
+               .select(F.lit(float(q)).alias("q"),
+                       F.col("lo").alias("est_tokens"),
+                       F.col("total").cast("long").alias("n_docs")))
+        out = hit if out is None else out.unionAll(hit)
+    return out.orderBy("q")
+
+
+def _token_quantiles_oracle_sql(quantiles=(0.5, 0.9, 0.99)) -> str:
+    sel = ",\n  ".join(
+        f"(SELECT lo FROM cum WHERE cum >= CEIL({q} * total) "
+        f"ORDER BY bin LIMIT 1) AS q{i}"
+        for i, q in enumerate(quantiles))
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {q} AS q, q{i} AS est_tokens, n_docs FROM picks"
+        for i, q in enumerate(quantiles))
+    return f"""
+WITH vals AS (
+  SELECT CASE WHEN LENGTH(TRIM(text)) > 0
+         THEN LEN(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'))
+         ELSE 0 END::BIGINT AS v
+  FROM documents
+),
+binned AS (
+  SELECT CASE WHEN v < 16 THEN v
+         ELSE 16 * (LENGTH(bin(v)) - 1 - 3)
+              + (v // CAST(POW(2.0, LENGTH(bin(v)) - 1 - 4) AS BIGINT)) % 16
+         END AS bin
+  FROM vals
+),
+hist AS (SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin),
+cum AS (
+  SELECT bin, n,
+         SUM(n) OVER (ORDER BY bin) AS cum,
+         (SELECT SUM(n) FROM hist) AS total,
+         CASE WHEN bin < 16 THEN bin
+              ELSE CAST((bin % 16 + 16)
+                   * POW(2.0, bin // 16 + 3 - 4) AS BIGINT) END AS lo
+  FROM hist
+),
+picks AS (
+  SELECT {sel},
+         (SELECT CAST(total AS BIGINT) FROM cum LIMIT 1) AS n_docs
+)
+{rows}
+ORDER BY q
+"""
+
+
+ORACLE_TOKEN_QUANTILES = _token_quantiles_oracle_sql()

@@ -208,3 +208,39 @@ def test_cms_overestimate_guarantee_under_collisions(spark, tmp_path):
         true = 1  # every word in this fixture is unique
         assert e >= true, (w, e)
         assert e <= true + eps_bound, (w, e, eps_bound)
+
+
+def test_token_quantiles_accuracy_heavy_tail(spark, tmp_path):
+    """Quantile-sketch audit on a Zipf-ish heavy-tail corpus: every
+    estimate must sit within the binning's guaranteed band
+    [true_lower_bin_bound, true], i.e. relative error < 2^-4 + one
+    rank-step, across p50/p90/p99.  Also pins the bin round-trip
+    property lo(bin(v)) <= v < lo(next bin)."""
+    from pyspark.sql import functions as F
+    from closure_html_spark.spark import relational as R
+    # doc i has ~ 10 + (i % 7)^3 * (1 + i % 13) words: long tail to 2k+
+    rows = []
+    for i in range(2000):
+        n = 10 + (i % 7) ** 3 * (1 + i % 13)
+        rows.append((i, " ".join(f"w{j}" for j in range(n)), "en"))
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["q"]: r["est_tokens"]
+           for r in R.q_token_quantiles(spark, str(tmp_path)).collect()}
+    import math
+    counts = sorted(10 + (i % 7) ** 3 * (1 + i % 13) for i in range(2000))
+    for q, est in got.items():
+        true = counts[min(len(counts) - 1,
+                          math.ceil(q * len(counts)) - 1)]
+        assert est <= true, (q, est, true)
+        assert est >= true * (1 - 2 ** -4) - 1, (q, est, true)
+    # binning round-trip: lo(bin(v)) <= v for representative v
+    for v in (0, 1, 15, 16, 17, 31, 32, 100, 1000, 123456):
+        if v < 16:
+            b, lo = v, v
+        else:
+            e = v.bit_length() - 1
+            sub = (v >> (e - 4)) & 15
+            b = 16 * (e - 3) + sub
+            lo = (16 + sub) << (e - 4)
+        assert lo <= v < lo + max(1, 1 << max(0, (b // 16 + 3 - 4))), v
