@@ -274,7 +274,7 @@ def test_aux_registry_plan_discipline(spark):
     # anything new joining this set must justify its broadcast side
     bnlj_ok = {"embedding_neardup", "lm_perplexity", "ppl_buckets",
                "pq_encode", "ann_pq_topk", "ann_ivfadc_topk",
-               "dsir_weights"}
+               "dsir_weights", "token_quantiles"}
     offenders = {}
     for name, fn in entry_mod.aux_queries().items():
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
