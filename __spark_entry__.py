@@ -857,6 +857,9 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 addition: deterministic HDR-binned quantile sketch
         # (the replayable t-digest stand-in; 16 sub-bins/octave)
         "token_quantiles": R.q_token_quantiles,
+        # round-7 addition: RSS/Atom feed ingest (third crawl-seeding
+        # source; dates round-tripped through the wire formats)
+        "feed_entries": R.q_feed_entries,
     }
 
 
@@ -936,6 +939,7 @@ FROM p GROUP BY host ORDER BY n_pages DESC, host
         "cms_word_freq": R.ORACLE_CMS,
         "ann_ivfadc_topk": R.ORACLE_ANN_IVFADC,
         "token_quantiles": R.ORACLE_TOKEN_QUANTILES,
+        "feed_entries": R.ORACLE_FEED_ENTRIES,
     }
 
 

@@ -5572,3 +5572,93 @@ ORDER BY q
 
 
 ORACLE_TOKEN_QUANTILES = _token_quantiles_oracle_sql()
+
+
+# --- RSS/Atom feed ingest (round 7) -------------------------------------------
+
+def feed_entries(df, body_col: str = "feed"):
+    """Extract entries from RSS 2.0 / Atom feed bodies -- the third
+    crawl-seeding source next to robots Sitemap pointers and
+    sitemap_urls.  Dispatches on the root element per body; RSS
+    <item> blocks yield (link, title, RFC-822 pubDate), Atom <entry>
+    blocks yield (link href, title, ISO-8601 updated); dates parse to
+    epoch seconds (Spark's CORRECTED parser rejects day-name patterns,
+    so the RFC-822 weekday prefix is stripped before parsing -- the
+    standard tolerant-reader move).  Pure codegen regex extraction +
+    map-side explode, no shuffle; feeds whose entries lack a date get
+    pub_epoch NULL rather than dropping the row."""
+    is_rss = F.col(body_col).contains("<rss")
+    blocks = F.when(
+        is_rss,
+        F.expr(f"regexp_extract_all({body_col}, '<item>(.*?)</item>', 1)")
+    ).otherwise(
+        F.expr(f"regexp_extract_all({body_col}, "
+               "'<entry>(.*?)</entry>', 1)"))
+    b = F.col("b")
+    rss_url = F.regexp_extract(b, "<link>([^<]*)</link>", 1)
+    atom_url = F.regexp_extract(b, '<link href="([^"]*)"', 1)
+    title = F.regexp_extract(b, "<title>([^<]*)</title>", 1)
+    rss_date = F.regexp_extract(b, "<pubDate>([^<]*)</pubDate>", 1)
+    atom_date = F.regexp_extract(b, "<updated>([^<]*)</updated>", 1)
+    rss_epoch = F.unix_timestamp(F.try_to_timestamp(
+        F.regexp_replace(rss_date, r"^[A-Za-z]{3}, ", ""),
+        F.lit("dd MMM yyyy HH:mm:ss 'GMT'")))
+    atom_epoch = F.unix_timestamp(
+        F.try_to_timestamp(atom_date, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")))
+    return (df.select("host", is_rss.alias("is_rss"),
+                      F.explode(blocks).alias("b"))
+            .select("host",
+                    F.when(F.col("is_rss"), F.lit("rss"))
+                    .otherwise(F.lit("atom")).alias("kind"),
+                    F.when(F.col("is_rss"), rss_url)
+                    .otherwise(atom_url).alias("url"),
+                    title.alias("title"),
+                    F.when(F.col("is_rss"), rss_epoch)
+                    .otherwise(atom_epoch).alias("pub_epoch")))
+
+
+def q_feed_entries(spark, sf_dir):
+    """Feed-ingest gate: even hosts serve RSS 2.0, odd hosts Atom, one
+    entry per page, pub instant = 2024-01-01 + doc_id minutes.  The
+    Spark side ROUND-TRIPS each date (format to the wire string, build
+    the feed XML, re-extract, parse back to epoch) while the oracle is
+    pure closed-form arithmetic -- a formatter/parser disagreement in
+    either direction breaks the value hash loudly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host = (F.col("doc_id") % 50).cast("long")
+    url = F.concat(F.lit("https://host"), host.cast("string"),
+                   F.lit(".example/p"), F.col("doc_id").cast("string"))
+    ts = F.to_timestamp(F.from_unixtime(
+        F.lit(1704067200) + F.col("doc_id") * 60))
+    rss_e = F.concat(
+        F.lit("<item><link>"), url, F.lit("</link><title>Doc "),
+        F.col("doc_id").cast("string"), F.lit("</title><pubDate>"),
+        F.date_format(ts, "EEE, dd MMM yyyy HH:mm:ss"),
+        F.lit(" GMT</pubDate></item>"))
+    atom_e = F.concat(
+        F.lit('<entry><link href="'), url, F.lit('"/><title>Doc '),
+        F.col("doc_id").cast("string"), F.lit("</title><updated>"),
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit("Z</updated></entry>"))
+    entries = docs.select(
+        host.alias("host"), F.col("doc_id"),
+        F.when(host % 2 == 0, rss_e).otherwise(atom_e).alias("e"))
+    feeds = (entries.groupBy("host").agg(F.concat(
+        F.when(F.col("host") % 2 == 0,
+               F.lit('<rss version="2.0"><channel>'))
+        .otherwise(F.lit('<feed xmlns="http://www.w3.org/2005/Atom">')),
+        F.array_join(F.array_sort(F.collect_list(
+            F.struct("doc_id", "e"))).getField("e"), ""),
+        F.when(F.col("host") % 2 == 0, F.lit("</channel></rss>"))
+        .otherwise(F.lit("</feed>"))).alias("feed")))
+    return feed_entries(feeds).orderBy("host", "url")
+
+
+ORACLE_FEED_ENTRIES = """
+SELECT doc_id % 50 AS host,
+       CASE WHEN doc_id % 50 % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       'https://host' || (doc_id % 50) || '.example/p' || doc_id AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       1704067200 + doc_id * 60 AS pub_epoch
+FROM documents ORDER BY host, url
+"""

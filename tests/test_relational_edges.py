@@ -244,3 +244,30 @@ def test_token_quantiles_accuracy_heavy_tail(spark, tmp_path):
             b = 16 * (e - 3) + sub
             lo = (16 + sub) << (e - 4)
         assert lo <= v < lo + max(1, 1 << max(0, (b // 16 + 3 - 4))), v
+
+
+def test_feed_entries_tolerant_reader(spark):
+    """feed_entries edges: an RSS item without a pubDate keeps its row
+    with pub_epoch NULL; a feed body whose root is Atom dispatches on
+    <entry> even if an embedded <item> string appears in a title;
+    malformed dates -> NULL, never an exception."""
+    from closure_html_spark.spark import relational as R
+    rows = [
+        (1, '<rss version="2.0"><channel>'
+            '<item><link>https://a/1</link><title>t1</title></item>'
+            '<item><link>https://a/2</link><title>t2</title>'
+            '<pubDate>not a date</pubDate></item>'
+            '</channel></rss>'),
+        (2, '<feed xmlns="http://www.w3.org/2005/Atom">'
+            '<entry><link href="https://b/1"/><title>has &lt;item&gt; '
+            'text</title><updated>2024-06-01T12:00:00Z</updated></entry>'
+            '</feed>'),
+    ]
+    df = spark.createDataFrame(rows, "host long, feed string")
+    got = {(r["host"], r["url"]): r
+           for r in R.feed_entries(df).collect()}
+    assert len(got) == 3
+    assert got[(1, "https://a/1")]["pub_epoch"] is None
+    assert got[(1, "https://a/2")]["pub_epoch"] is None  # malformed
+    assert got[(2, "https://b/1")]["kind"] == "atom"
+    assert got[(2, "https://b/1")]["pub_epoch"] == 1717243200
