@@ -860,6 +860,9 @@ def aux_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 addition: RSS/Atom feed ingest (third crawl-seeding
         # source; dates round-tripped through the wire formats)
         "feed_entries": R.q_feed_entries,
+        # round-7 addition: fuzzy (MinHash) decontamination -- the
+        # near-dup complement to the exact 8-gram scrub
+        "decontaminate_fuzzy": R.q_decontaminate_fuzzy,
     }
 
 
@@ -940,6 +943,7 @@ FROM p GROUP BY host ORDER BY n_pages DESC, host
         "ann_ivfadc_topk": R.ORACLE_ANN_IVFADC,
         "token_quantiles": R.ORACLE_TOKEN_QUANTILES,
         "feed_entries": R.ORACLE_FEED_ENTRIES,
+        "decontaminate_fuzzy": R.ORACLE_DECONTAMINATE_FUZZY,
     }
 
 

@@ -5662,3 +5662,81 @@ SELECT doc_id % 50 AS host,
        1704067200 + doc_id * 60 AS pub_epoch
 FROM documents ORDER BY host, url
 """
+
+
+# --- fuzzy decontamination (round 7) ------------------------------------------
+
+def q_decontaminate_fuzzy(spark, sf_dir, n_hashes: int = 16,
+                          n_bands: int = 4, threshold: float = 0.5,
+                          eval_mod: int = 7):
+    """Fuzzy train/eval decontamination: flag every TRAIN document whose
+    MinHash-estimated Jaccard vs ANY eval document reaches threshold --
+    the near-duplicate complement to q_decontaminate's exact-8-gram
+    scrub (modern pipelines run both: exact n-grams catch verbatim
+    leaks, fuzzy catches paraphrased/reformatted copies of benchmark
+    items).  Same eval split convention (doc_id % eval_mod == 0 = the
+    stand-in benchmark table) and the SAME signature/band constants as
+    the minhash gates, so the DuckDB oracle replays bit-for-bit.
+
+    Scale shape: eval benchmarks are MBs against a 100-TB corpus, so
+    the eval side's bands AND signatures both BROADCAST; train bands
+    join map-side, candidates carry (train_id, eval_id) ids only, and
+    the verdict is one groupBy over flagged train ids.  Corpus text
+    never shuffles; the only corpus-sized exchange is the signature
+    partial-MIN agg the minhash family already pays."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = _minhash_sigs(docs, n_hashes)
+    is_eval = (F.col("doc_id") % eval_mod) == 0
+    ev_sigs = sigs.filter(is_eval)
+    tr_sigs = sigs.filter(~is_eval)
+    ev_bands = _minhash_banded(ev_sigs, n_hashes, n_bands) \
+        .select(F.col("doc_id").alias("eval_id"), "band", "bucket")
+    tr_bands = _minhash_banded(tr_sigs, n_hashes, n_bands)
+    cand = (tr_bands.join(F.broadcast(ev_bands), ["band", "bucket"])
+            .select("doc_id", "eval_id").distinct())
+    sa = tr_sigs.select("doc_id", *[F.col(f"h{h}").alias(f"a{h}")
+                                    for h in range(n_hashes)])
+    sb = ev_sigs.select(F.col("doc_id").alias("eval_id"),
+                        *[F.col(f"h{h}").alias(f"b{h}")
+                          for h in range(n_hashes)])
+    agree = None
+    for h in range(n_hashes):
+        t = (F.col(f"a{h}") == F.col(f"b{h}")).cast("int")
+        agree = t if agree is None else agree + t
+    est = F.round(agree / F.lit(float(n_hashes)), 4)
+    return (cand.join(sa, "doc_id").join(F.broadcast(sb), "eval_id")
+            .select("doc_id", "eval_id", est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_eval_matches"),
+                 F.max("est_jaccard").alias("max_est_jaccard"))
+            .orderBy("doc_id"))
+
+
+def _decontaminate_fuzzy_oracle_sql(n_hashes: int = 16, n_bands: int = 4,
+                                    threshold: float = 0.5,
+                                    eval_mod: int = 7) -> str:
+    agree = " + ".join(f"(x.h{h} = y.h{h})::INT" for h in range(n_hashes))
+    return f"""
+WITH {_minhash_ctes(n_hashes, n_bands)},
+cand AS (
+  SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+  FROM bands t JOIN bands e
+    ON t.band = e.band AND t.bucket = e.bucket
+  WHERE t.doc_id % {eval_mod} <> 0 AND e.doc_id % {eval_mod} = 0
+),
+est AS (
+  SELECT c.doc_id, c.eval_id,
+         ROUND(({agree}) / {n_hashes}.0, 4) AS est_jaccard
+  FROM cand c
+  JOIN hx x ON x.doc_id = c.doc_id
+  JOIN hx y ON y.doc_id = c.eval_id
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_eval_matches,
+       MAX(est_jaccard) AS max_est_jaccard
+FROM est WHERE est_jaccard >= {threshold}
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ORACLE_DECONTAMINATE_FUZZY = _decontaminate_fuzzy_oracle_sql()
