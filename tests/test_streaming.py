@@ -485,3 +485,21 @@ def test_stream_cardinality_matches_batch_registers(spark,
         g = r["grp"]
         assert r["n_present"] == per_grp[g][0], g
         assert abs(r["sum_inv"] - per_grp[g][1]) < 1e-12, g
+
+
+def test_hll_estimator_twins_agree(spark):
+    """streaming.hll_estimate and relational.q_vocab_hll implement the
+    same estimator in two places (Python vs column expressions); feeding
+    the streaming combiner the batch sketch's own state must reproduce
+    the batch estimate exactly -- pinning the twins against drift."""
+    from closure_html_spark.spark import relational as R
+    from closure_html_spark.spark.streaming import hll_estimate
+
+    SF = "/root/testdata/sf0.001"
+    row = R.q_vocab_hll(spark, SF).collect()[0]
+    # one synthetic group holding the whole register file; sum_inv
+    # already includes the zero registers' 2^0 terms
+    groups = [{"n_present": row["m"] - row["zero_registers"],
+               "sum_inv": row["sum_inv"]}]
+    est = hll_estimate(groups, p=10)
+    assert round(est, 3) == row["est_distinct"], (est, row)
