@@ -441,6 +441,136 @@ def _dot_expr(a, b, dim: int = 64):
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+# --- vectorized embedding kernels (round 8, guide §4.2) ---------------------
+#
+# The zip_with/aggregate HOF lambdas of _dot_expr are INTERPRETED by the
+# JVM expression evaluator (never whole-stage-codegen'd): every element of
+# every dot product costs a boxed lambda invocation.  Round-8 measurement
+# (OPTIMIZATION_r08.md) put the embedding family at ~34 s of the 81 s
+# relational total, nearly all of it in these folds.  The kernels below move
+# the SAME arithmetic into numpy inside mapInArrow (guide §4.2: hand whole
+# batches to vectorized native code).  Bit-exactness: the JVM fold is a
+# left-associated float64 sum seeded at 0.0 over float->double casts; the
+# numpy loop accumulates `acc = acc + a[:, d] * b[:, d]` column by column --
+# the identical IEEE-754 operation sequence per row, vectorized ACROSS rows
+# -- so every dot/norm is bit-identical to _dot_expr's and the DuckDB
+# oracles replay unchanged.  Rounding/division stay JVM-side.
+
+def _np_embs(col, dim: int = 64):
+    """(n, dim) float64 matrix from an Arrow list<float> column -- the
+    exact element sequence zip_with sees, as one contiguous buffer."""
+    import numpy as np
+    arr = col.flatten().to_numpy(zero_copy_only=False)
+    return np.asarray(arr, dtype=np.float64).reshape(-1, dim)
+
+
+def _np_seq_dot(a, b):
+    """Row-wise dot of two (n, dim) float64 matrices with the fold's exact
+    left-to-right add order (vectorized across rows, sequential across
+    dims -- NOT np.dot, whose pairwise/BLAS summation order differs)."""
+    import numpy as np
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for d in range(a.shape[1]):
+        acc = acc + a[:, d] * b[:, d]
+    return acc
+
+
+def _np_pair_dot(df, a_col: str, b_col: str, keep: list[str],
+                 out: str = "dot", dim: int = 64):
+    """Append `out` = dot(a_col, b_col) (raw double, unrounded) to `df`
+    via one numpy mapInArrow pass; keeps only `keep` + `out`."""
+    import pyarrow as pa
+    dts = dict(df.dtypes)
+    schema = ", ".join(f"{c} {dts[c]}" for c in keep) + f", {out} double"
+
+    def fn(batches):
+        for b in batches:
+            d = _np_seq_dot(_np_embs(b.column(a_col), dim),
+                            _np_embs(b.column(b_col), dim))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(c) for c in keep] + [pa.array(d, pa.float64())],
+                names=keep + [out])
+
+    return df.select(*dict.fromkeys(keep + [a_col, b_col])) \
+        .mapInArrow(fn, schema)
+
+
+# embeddings-side size gate for the pair-rerank kernels: when the WHOLE
+# vector table fits a broadcast (the same "broadcast the side that fits"
+# judgement as guide §3.1 -- the old plan already shipped every embedding
+# to every executor through a BroadcastExchange), the pair rerank ships
+# ids only (~16 bytes/pair) and looks vectors up in one broadcast matrix;
+# past the gate it falls back to the equi-join + per-pair shipping shape,
+# which never holds the table in one piece anywhere.
+_EMB_BCAST_MAX_BYTES = 64 << 20
+
+
+def _emb_matrix_bcast(emb, dim: int = 64):
+    """Broadcast (sorted ids, float32 matrix, float64 norms) of the whole
+    embeddings frame, or None when it exceeds the broadcast gate.  Norms
+    use the same sequential fold as _np_normed (bit-identical)."""
+    import numpy as np
+    tbl = emb.select("vec_id", "embedding").toArrow()
+    ids = np.asarray(tbl.column("vec_id").to_numpy(zero_copy_only=False))
+    mat = np.asarray(
+        tbl.column("embedding").combine_chunks().flatten()
+        .to_numpy(zero_copy_only=False), dtype=np.float32).reshape(-1, dim)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.sqrt(_np_seq_dot(mat.astype(np.float64),
+                                mat.astype(np.float64)))
+    return emb.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+
+def _np_pair_dot_bcast(pairs, bc, a_id: str = "a_id", b_id: str = "b_id"):
+    """(a_id, b_id, dot, a_norm, b_norm) from an ids-only pair frame and
+    the broadcast embedding matrix: the heavy bytes cross the Python
+    boundary never (guide §8 -- decide with small rows); the dot is the
+    same sequential float64 fold as _dot_expr."""
+    import pyarrow as pa
+
+    def fn(batches):
+        import numpy as np
+        ids, mat, norms = bc.value
+        m64 = mat.astype(np.float64)
+        for b in batches:
+            av = b.column(a_id).to_numpy(zero_copy_only=False)
+            bv = b.column(b_id).to_numpy(zero_copy_only=False)
+            ai = np.searchsorted(ids, av)
+            bi = np.searchsorted(ids, bv)
+            d = _np_seq_dot(m64[ai], m64[bi])
+            yield pa.RecordBatch.from_arrays(
+                [b.column(a_id), b.column(b_id),
+                 pa.array(d, pa.float64()),
+                 pa.array(norms[ai], pa.float64()),
+                 pa.array(norms[bi], pa.float64())],
+                names=[a_id, b_id, "dot", "a_norm", "b_norm"])
+
+    return pairs.select(a_id, b_id).mapInArrow(
+        fn, f"{a_id} bigint, {b_id} bigint, dot double, "
+            "a_norm double, b_norm double")
+
+
+def _np_normed(emb, dim: int = 64, out: str = "norm"):
+    """(vec_id, embedding, norm) with norm = sqrt(fold(x^2)) -- the numpy
+    twin of the per-vector norm lambda (same sequential add order; IEEE
+    sqrt is exact so the result is bit-identical)."""
+    import pyarrow as pa
+
+    def fn(batches):
+        import numpy as np
+        for b in batches:
+            e = _np_embs(b.column("embedding"), dim)
+            n = np.sqrt(_np_seq_dot(e, e))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"), b.column("embedding"),
+                 pa.array(n, pa.float64())],
+                names=["vec_id", "embedding", out])
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        fn, f"vec_id bigint, embedding array<float>, {out} double")
+
+
 def q_ann_cosine_topk(spark, sf_dir, k: int = 5, n_queries: int = 3):
     """Brute-force cosine top-k similarity search -- the exact baseline for
     ANN.  Query vectors = embeddings with vec_id < n_queries; crossJoin with
@@ -2169,6 +2299,42 @@ def _rhp_bands(emb_col, band_bits: int, n_bands: int, dim: int = 64):
     return F.array(*structs)
 
 
+def _rhp_bands_np(emb, band_bits: int, n_bands: int, dim: int = 64):
+    """(vec_id, bk struct<band:int,val:bigint>) rows -- the numpy twin of
+    explode(_rhp_bands(...)): each sign bit is the SAME left-associated
+    float64 fold as the interpreted zip_with/aggregate version (see the
+    round-8 kernel note above), so bucket membership is bit-identical;
+    one mapInArrow pass replaces band_bits*n_bands interpreted 64-element
+    folds per row (the round-8 profile's single largest cost)."""
+    import pyarrow as pa
+    signs = _rhp_sign_matrix(band_bits * n_bands, dim)
+    n_bits = band_bits * n_bands
+
+    def fn(batches):
+        import numpy as np
+        S = np.asarray(signs, dtype=np.float64)
+        for b in batches:
+            e = _np_embs(b.column("embedding"), dim)
+            n = e.shape[0]
+            vals = np.zeros((n, n_bands), dtype=np.int64)
+            for i in range(n_bits):
+                bit = (_np_seq_dot(e, np.broadcast_to(S[i], e.shape))
+                       >= 0.0).astype(np.int64)
+                vals[:, i // band_bits] += bit << (i % band_bits)
+            vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(vid, n_bands), pa.int64()),
+                 pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n),
+                          pa.int32()),
+                 pa.array(vals.reshape(-1), pa.int64())],
+                names=["vec_id", "band", "val"])
+
+    flat = emb.select("vec_id", "embedding").mapInArrow(
+        fn, "vec_id bigint, band int, val bigint")
+    return flat.select("vec_id",
+                       F.struct("band", "val").alias("bk"))
+
+
 def q_embedding_neardup_lsh(spark, sf_dir, threshold: float = 0.4,
                             band_bits: int | None = None, n_bands: int = 8,
                             n_rows: int | None = None,
@@ -2207,36 +2373,49 @@ def q_embedding_neardup_lsh(spark, sf_dir, threshold: float = 0.4,
     emb = _t(spark, sf_dir, "embeddings")
     if band_bits is None:
         band_bits = lsh_band_bits(_embeddings_n_rows(emb, sf_dir, n_rows))
-    bands = _rhp_bands(F.col("embedding"), band_bits, n_bands)
-    banded = emb.select("vec_id", F.explode(bands).alias("bk"))
+    # round-8 (guide §4.2 + §2.4): signatures come from ONE numpy
+    # mapInArrow pass (bit-identical fold, see _rhp_bands_np) and the tiny
+    # (vec_id, bk) frame is materialized once -- the interpreted banding
+    # subtree previously executed TWICE (both sides of the self-join;
+    # plans/r08/embedding_neardup_lsh_before.txt shows the duplicated
+    # Generate), at scan parallelism 1
+    banded = _rhp_bands_np(emb, band_bits, n_bands)
     if max_bucket is not None:
         # window partitions on the SAME key the self-join shuffles on, so
         # the exchange is shared (ReusedExchange), not an extra shuffle
         wcap = Window.partitionBy("bk").orderBy("vec_id")
         banded = (banded.withColumn("_rn", F.row_number().over(wcap))
                   .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    banded = banded.localCheckpoint(eager=True)
     a = banded.select(F.col("vec_id").alias("a_id"), F.col("bk").alias("a_bk"))
     b = banded.select(F.col("vec_id").alias("b_id"), F.col("bk").alias("b_bk"))
     pairs = (a.join(b, a.a_bk == b.b_bk)             # bucket equi-join
              .filter(F.col("a_id") < F.col("b_id"))
              .select("a_id", "b_id")
              .dropDuplicates(["a_id", "b_id"]))      # ANY-band semantics
-    # norms precomputed ONCE per vector (zip_with/aggregate lambdas are
-    # interpreted, not codegen'd -- per-PAIR norm evaluation tripled the
-    # rerank cost); the pair rows then carry one dot product each
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    ea = emb.select(F.col("vec_id").alias("a_id"),
-                    F.col("embedding").alias("a_emb"),
-                    norm(F.col("embedding")).alias("a_norm"))
-    eb = emb.select(F.col("vec_id").alias("b_id"),
-                    F.col("embedding").alias("b_emb"),
-                    norm(F.col("embedding")).alias("b_norm"))
-    dot = _dot_expr(F.col("a_emb"), F.col("b_emb"))
-    sim = F.round(dot / (F.col("a_norm") * F.col("b_norm")), 6)
-    return (pairs.join(ea, "a_id").join(eb, "b_id")  # rerank on candidates
-            .select("a_id", "b_id", sim.alias("sim"))
+    # rerank: raw pair dots + per-vector norms from the numpy kernels;
+    # division + 6dp rounding + threshold stay JVM-side, so the emitted
+    # sim is unchanged.  Below the broadcast gate the pair frame crosses
+    # the Python boundary as ids only and vectors come from one broadcast
+    # matrix (the old plan shipped 2 x 64 floats PER PAIR -- ~800 MB at
+    # sf0.1 -- through two broadcast joins and the Arrow exchange); past
+    # the gate the per-pair join shape takes over unchanged.
+    n = _embeddings_n_rows(emb, sf_dir, n_rows)
+    if n * 64 * 4 <= _EMB_BCAST_MAX_BYTES:
+        scored = _np_pair_dot_bcast(pairs, _emb_matrix_bcast(emb))
+    else:
+        normed = _np_normed(emb).localCheckpoint(eager=True)
+        ea = normed.select(F.col("vec_id").alias("a_id"),
+                           F.col("embedding").alias("a_emb"),
+                           F.col("norm").alias("a_norm"))
+        eb = normed.select(F.col("vec_id").alias("b_id"),
+                           F.col("embedding").alias("b_emb"),
+                           F.col("norm").alias("b_norm"))
+        scored = _np_pair_dot(
+            pairs.join(ea, "a_id").join(eb, "b_id"),
+            "a_emb", "b_emb", keep=["a_id", "b_id", "a_norm", "b_norm"])
+    sim = F.round(F.col("dot") / (F.col("a_norm") * F.col("b_norm")), 6)
+    return (scored.select("a_id", "b_id", sim.alias("sim"))
             .filter(F.col("sim") >= threshold)
             .orderBy("a_id", "b_id"))
 
