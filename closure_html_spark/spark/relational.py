@@ -4769,43 +4769,75 @@ def q_semantic_dedup(spark, sf_dir, threshold: float = 0.4,
     sizing argument as the LSH twin, tests/test_lsh_scale.py); the final
     anti-join carries ids only."""
     import math
+
+    import numpy as np
+    import pyarrow as pa
     emb = _t(spark, sf_dir, "embeddings")
     n = _embeddings_n_rows(emb, sf_dir, n_rows)
     if n_cells is None:
         n_cells = ivf_n_cells(n)
     step = max(1, math.ceil(n / n_cells))
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    cents = (emb.filter(F.col("vec_id") % step == 0)
-             .select(F.col("vec_id").alias("c_id"),
-                     F.col("embedding").alias("c_emb"),
-                     norm(F.col("embedding")).alias("c_norm")))
-    ev = emb.select("vec_id", "embedding",
-                    norm(F.col("embedding")).alias("v_norm"))
-    sim_c = F.round(_dot_expr(F.col("embedding"), F.col("c_emb")) /
-                    (F.col("v_norm") * F.col("c_norm")), 6)
-    cells = (ev.crossJoin(F.broadcast(cents))
-             .select("vec_id", "embedding", "v_norm",
-                     F.struct(sim_c.alias("s"),
-                              (-F.col("c_id")).alias("nc")).alias("o"))
-             .groupBy("vec_id")
-             .agg(F.max("o").alias("m"),
-                  F.first("embedding").alias("embedding"),
-                  F.first("v_norm").alias("v_norm"))
-             .select("vec_id", (-F.col("m.nc")).alias("cell"),
-                     "embedding", "v_norm"))
-    a = cells.select(F.col("cell"), F.col("vec_id").alias("a_id"),
-                     F.col("embedding").alias("a_emb"),
-                     F.col("v_norm").alias("a_norm"))
-    bb = cells.select(F.col("cell"), F.col("vec_id").alias("b_id"),
-                      F.col("embedding").alias("b_emb"),
-                      F.col("v_norm").alias("b_norm"))
-    sim = F.round(_dot_expr(F.col("a_emb"), F.col("b_emb")) /
-                  (F.col("a_norm") * F.col("b_norm")), 6)
-    losers = (a.join(bb, "cell")
-              .filter(F.col("a_id") < F.col("b_id"))
-              .filter(sim >= threshold)
+    # round 8 (guide §4.2): the old plan crossJoined every vector with the
+    # broadcast centroid table and ran one interpreted 64-dim fold per
+    # (vector, centroid) under a groupBy argmax, then a second interpreted
+    # fold per within-cell pair.  Assignment is now one numpy kernel with
+    # the centroid matrix in a broadcast variable (the same <=2^16-row
+    # bound the old BroadcastExchange carried); the argmax compares the
+    # 6dp-rounded sims as exact HALF_UP micro-units (_round6_micro), so
+    # cell assignment is bit-identical.  The pair stage shuffles ids only
+    # and reranks through the broadcast-matrix kernel below the §3.1 size
+    # gate (per-pair join fallback above it); division, rounding and the
+    # threshold stay JVM-side.
+    crows = sorted(
+        emb.filter(F.col("vec_id") % step == 0)
+        .select(F.col("vec_id").alias("c_id"), "embedding").collect(),
+        key=lambda r: r.c_id)
+    c_ids = [int(r.c_id) for r in crows]
+    c_mat = np.asarray([list(r.embedding) for r in crows],
+                       dtype=np.float32).astype(np.float64)
+    c_norm = np.sqrt(_np_seq_dot(c_mat, c_mat))
+    bc = emb.sparkSession.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    def assign(batches):
+        cids, cmat, cn = bc.value
+        for b in batches:
+            e = _np_embs(b.column("embedding"))
+            vn = np.sqrt(_np_seq_dot(e, e))
+            best = np.full(e.shape[0], np.iinfo(np.int64).min,
+                           dtype=np.int64)
+            cell = np.zeros(e.shape[0], dtype=np.int64)
+            for ci in range(len(cids)):  # ascending c_id: ties keep first
+                d = _np_seq_dot(e, np.broadcast_to(cmat[ci], e.shape))
+                micro = _round6_micro(d / (vn * cn[ci]))
+                upd = micro > best
+                best[upd] = micro[upd]
+                cell[upd] = cids[ci]
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"), pa.array(cell, pa.int64())],
+                names=["vec_id", "cell"])
+
+    cells = emb.select("vec_id", "embedding").mapInArrow(
+        assign, "vec_id bigint, cell bigint").localCheckpoint(eager=True)
+    a = cells.select("cell", F.col("vec_id").alias("a_id"))
+    bb = cells.select("cell", F.col("vec_id").alias("b_id"))
+    pairs = (a.join(bb, "cell")
+             .filter(F.col("a_id") < F.col("b_id"))
+             .select("a_id", "b_id"))
+    if n * 64 * 4 <= _EMB_BCAST_MAX_BYTES:
+        scored = _np_pair_dot_bcast(pairs, _emb_matrix_bcast(emb))
+    else:
+        normed = _np_normed(emb).localCheckpoint(eager=True)
+        ea = normed.select(F.col("vec_id").alias("a_id"),
+                           F.col("embedding").alias("a_emb"),
+                           F.col("norm").alias("a_norm"))
+        eb = normed.select(F.col("vec_id").alias("b_id"),
+                           F.col("embedding").alias("b_emb"),
+                           F.col("norm").alias("b_norm"))
+        scored = _np_pair_dot(
+            pairs.join(ea, "a_id").join(eb, "b_id"),
+            "a_emb", "b_emb", keep=["a_id", "b_id", "a_norm", "b_norm"])
+    sim = F.round(F.col("dot") / (F.col("a_norm") * F.col("b_norm")), 6)
+    losers = (scored.filter(sim >= threshold)
               .select(F.col("b_id").alias("vec_id"))
               .distinct())
     return (cells.select("vec_id", "cell")
@@ -4891,21 +4923,65 @@ def _pq_codebook(emb, sf_dir, m, n_sub_cents, n_rows):
 def _pq_codes(spark, sf_dir, m: int = 8, n_sub_cents: int = 16,
               n_rows: int | None = None):
     """(codes DF with vec_id/code0..code{m-1}/qerr, centroids DF): the
-    shared encode pipeline behind q_pq_encode and q_ann_pq_topk.  One
-    broadcast crossJoin of the tiny codebook x a single groupBy(vec_id)
-    pass carrying all m argmins as min(struct(dist, c_id)) -- embeddings
-    cross the exchange once, partial-agg combined."""
+    shared encode pipeline behind q_pq_encode and q_ann_pq_topk.
+
+    Round 8 (guide §4.2): the old shape crossJoined every vector with the
+    16-row codebook and evaluated m x 3 interpreted 8-dim folds PER PAIR
+    (384 boxed-lambda dot products per vector) under a groupBy argmin.
+    Now one numpy mapInArrow pass emits the raw |x|^2 - 2x.c + |c|^2
+    distances (same left-associated float64 fold order, so every double
+    is bit-identical); the 6dp rounding, the (d, c_id) argmin -- an
+    array_min over 16 structs, the same lexicographic min the groupBy
+    computed -- and qerr stay JVM-side.  The bounded codebook
+    (n_sub_cents rows) is collected once, the same driver-table class as
+    the BPE top-words counter."""
+    import numpy as np
+    import pyarrow as pa
     emb = _t(spark, sf_dir, "embeddings")
     cents, _ = _pq_codebook(emb, sf_dir, m, n_sub_cents, n_rows)
     d_sub = 64 // m
-    pairs = emb.select("vec_id", "embedding") \
-        .crossJoin(F.broadcast(cents))
-    aggs = []
-    for j in range(m):
-        dist = _pq_subdist(F.col("embedding"), F.col("c_emb"), j, d_sub)
-        aggs.append(F.min(F.struct(dist.alias("d"),
-                                   F.col("c_id").alias("c"))).alias(f"m{j}"))
-    enc = pairs.groupBy("vec_id").agg(*aggs)
+    crows = sorted(cents.collect(), key=lambda r: r.c_id)
+    c_ids = [int(r.c_id) for r in crows]
+    c_mat = np.asarray([list(r.c_emb) for r in crows],
+                       dtype=np.float32).astype(np.float64)
+    nc = len(c_ids)
+
+    def fn(batches):
+        # |c_j|^2 per (centroid, subspace), sequential fold
+        cc = np.zeros((nc, m))
+        for j in range(m):
+            sl = c_mat[:, j * d_sub:(j + 1) * d_sub]
+            cc[:, j] = _np_seq_dot(sl, sl)
+        for b in batches:
+            e = _np_embs(b.column("embedding"))
+            n = e.shape[0]
+            dists = np.empty((n, m * nc))
+            for j in range(m):
+                xj = e[:, j * d_sub:(j + 1) * d_sub]
+                xx = _np_seq_dot(xj, xj)
+                for c in range(nc):
+                    xc = _np_seq_dot(
+                        xj, np.broadcast_to(c_mat[c, j * d_sub:
+                                                  (j + 1) * d_sub],
+                                            xj.shape))
+                    dists[:, j * nc + c] = (xx - 2 * xc) + cc[c, j]
+            off = np.arange(0, (n + 1) * m * nc, m * nc, dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"),
+                 pa.ListArray.from_arrays(
+                     pa.array(off, pa.int32()),
+                     pa.array(dists.reshape(-1), pa.float64()))],
+                names=["vec_id", "d"])
+
+    raw = emb.select("vec_id", "embedding").mapInArrow(
+        fn, "vec_id bigint, d array<double>")
+    mins = raw.select("vec_id", *[
+        F.array_min(F.array(*[
+            F.struct(
+                F.round(F.element_at("d", j * nc + c + 1), 6).alias("d"),
+                F.lit(c_ids[c]).cast("bigint").alias("c"))
+            for c in range(nc)])).alias(f"m{j}")
+        for j in range(m)])
     qerr = None
     outs = [F.col("vec_id")]
     for j in range(m):
@@ -4913,7 +4989,7 @@ def _pq_codes(spark, sf_dir, m: int = 8, n_sub_cents: int = 16,
         dj = F.col(f"m{j}.d")
         qerr = dj if qerr is None else qerr + dj
     outs.append(F.round(qerr, 6).alias("qerr"))
-    return enc.select(*outs), cents
+    return mins.select(*outs), cents
 
 
 def q_pq_encode(spark, sf_dir, m: int = 8, n_sub_cents: int = 16,
@@ -4977,29 +5053,107 @@ def q_ann_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
                      rerank=rerank)
 
 
+def _java_round(x: float, scale: int = 6) -> float:
+    """Exact Python replica of Spark's ROUND(double, scale): Spark rounds
+    BigDecimal.valueOf(x) -- i.e. the SHORTEST decimal representation,
+    which is what Python's repr() also produces -- HALF_UP at `scale`.
+    Used when a 6dp-rounded constant is computed driver-side instead of
+    by a JVM expression; equality with F.round is pinned by the A/B and
+    oracle replays of every query that uses it."""
+    from decimal import ROUND_HALF_UP, Decimal
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _round6_micro(x):
+    """Vectorized int64 micro-units (x rounded at 6dp, Java HALF_UP): the
+    comparison-safe form of _java_round for use INSIDE numpy kernels when
+    a rounded value feeds an argmax/argmin.  Fast path floor(y + 0.5);
+    anything within 1e-3 micro-units of a .5 boundary (which includes
+    every negative exact half, where floor rounds toward +inf but Java
+    rounds away from zero) is recomputed through the exact Decimal
+    path."""
+    import numpy as np
+    y = x * 1e6
+    r = np.floor(y + 0.5)
+    out = r.astype(np.int64)
+    sus = np.abs(y - (r - 0.5)) < 1e-3
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+        for i in np.nonzero(sus)[0]:
+            out[i] = int(Decimal(repr(float(x[i]))).scaleb(6)
+                         .quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    return out
+
+
 def _adc_topk(codes, cents, emb, k: int, n_queries: int, m: int,
               rerank: int | None):
     """ADC scoring core shared by q_ann_pq_topk (inline encode) and
-    q_ann_pq_index_topk (persisted index): broadcast per-query LUT maps,
-    map-side element_at sums, top-k window, optional exact-rerank tail."""
+    q_ann_pq_index_topk (persisted index): per-query LUTs, compressed-
+    domain scan, top-k window, optional exact-rerank tail.
+
+    Round 8: the LUTs (n_queries x m x n_sub_cents rounded distances --
+    KBs) are computed DRIVER-side from the two bounded tables (queries,
+    codebook) with the same fold order and a bit-exact HALF_UP round
+    (_java_round), and ride the scoring kernel's closure: the old
+    broadcast-crossJoin + groupBy(map_from_entries) LUT job, the
+    codes x LUT crossJoin and the per-row element_at chain collapse into
+    one numpy pass over the codes (guide §4.2).  The adist sum keeps the
+    j-order left association; the 6dp round stays JVM-side."""
+    import numpy as np
+    import pyarrow as pa
     d_sub = 64 // m
+    crows = sorted(cents.collect(), key=lambda r: r.c_id)
+    c_ids = np.asarray([int(r.c_id) for r in crows])
+    c_mat = np.asarray([list(r.c_emb) for r in crows],
+                       dtype=np.float32).astype(np.float64)
     qs = (emb.filter(F.col("vec_id") < n_queries)
           .select(F.col("vec_id").alias("q_id"),
                   F.col("embedding").alias("q_emb")))
-    lut_rows = F.broadcast(qs).crossJoin(F.broadcast(cents))
-    lut = lut_rows.groupBy("q_id").agg(*[
-        F.map_from_entries(F.collect_list(F.struct(
-            F.col("c_id"),
-            _pq_subdist(F.col("q_emb"), F.col("c_emb"), j, d_sub)
-            .alias("d")))).alias(f"lut{j}")
-        for j in range(m)])
-    adist = None
+    qrows = sorted(qs.collect(), key=lambda r: r.q_id)
+    q_ids = [int(r.q_id) for r in qrows]
+    q_mat = np.asarray([list(r.q_emb) for r in qrows],
+                       dtype=np.float32).astype(np.float64)
+    nc, nq = len(crows), len(qrows)
+    lut = np.empty((nq, m, nc))
     for j in range(m):
-        term = F.element_at(F.col(f"lut{j}"), F.col(f"code{j}"))
-        adist = term if adist is None else adist + term
-    scored = (codes.crossJoin(F.broadcast(lut))
+        sl = slice(j * d_sub, (j + 1) * d_sub)
+        cc = _np_seq_dot(c_mat[:, sl], c_mat[:, sl])
+        for qi in range(nq):
+            xj = np.broadcast_to(q_mat[qi, sl], (nc, d_sub))
+            xx = _np_seq_dot(xj, xj)
+            xc = _np_seq_dot(xj, c_mat[:, sl])
+            for ci, d in enumerate((xx - 2 * xc) + cc):
+                lut[qi, j, ci] = _java_round(d)
+
+    code_cols = [f"code{j}" for j in range(m)]
+
+    def fn(batches):
+        for b in batches:
+            n = b.num_rows
+            vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+            idx = [np.searchsorted(
+                c_ids, b.column(f"code{j}").to_numpy(zero_copy_only=False))
+                for j in range(m)]
+            out_q, out_v, out_d = [], [], []
+            for qi in range(nq):
+                acc = lut[qi, 0][idx[0]]
+                for j in range(1, m):
+                    acc = acc + lut[qi, j][idx[j]]
+                out_q.append(np.full(n, q_ids[qi], dtype=np.int64))
+                out_v.append(vid)
+                out_d.append(acc)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_q), pa.int64()),
+                 pa.array(np.concatenate(out_v), pa.int64()),
+                 pa.array(np.concatenate(out_d), pa.float64())],
+                names=["q_id", "vec_id", "adist_raw"])
+
+    scored = (codes.select("vec_id", *code_cols)
+              .mapInArrow(fn, "q_id bigint, vec_id bigint, adist_raw double")
               .filter(F.col("vec_id") != F.col("q_id"))
-              .select("q_id", "vec_id", F.round(adist, 6).alias("adist")))
+              .select("q_id", "vec_id",
+                      F.round(F.col("adist_raw"), 6).alias("adist")))
     w = Window.partitionBy("q_id").orderBy("adist", "vec_id")
     if rerank is None:
         return (scored.withColumn("rnk", F.row_number().over(w))

@@ -178,10 +178,11 @@ def test_ivf_kmeans_refinement_improves_recall(spark):
 def test_pq_encode_properties(spark):
     """Product-quantization audit (q_pq_encode): (a) a vector that IS a
     sub-centroid donor reconstructs itself exactly (qerr == 0 on every
-    subspace); (b) every emitted code is a real centroid id; (c) the
-    codebook rides a BROADCAST join (no CartesianProduct / shuffle of
-    the 16-row side) and all 8 argmins share ONE aggregation pass --
-    embeddings cross the exchange once."""
+    subspace); (b) every emitted code is a real centroid id; (c) round-8
+    shape: the bounded codebook rides the numpy kernel's closure --
+    embeddings stream through ONE MapInArrow pass with no join and no
+    hash exchange at all (the r7 shape was a broadcast crossJoin + one
+    groupBy argmin pass; the argmin is now an array_min projection)."""
     from closure_html_spark.spark import relational as R
     SF = "/root/testdata/sf0.001"
     df = R.q_pq_encode(spark, SF)
@@ -205,12 +206,12 @@ def test_pq_encode_properties(spark):
     # AQE toString prints Final + Initial sections; audit the final one
     plan = df._jdf.queryExecution().executedPlan().toString() \
         .split("== Initial Plan ==")[0]
-    assert "CartesianProduct" in plan or "BroadcastNestedLoop" in plan
-    assert "CartesianProduct" not in plan, "codebook join not broadcast"
-    # one hash exchange total (the vec_id agg; orderBy adds a range one)
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
-    # all 8 subspace argmins ride ONE aggregate (embeddings cross once)
-    assert plan.count("Aggregate(key") <= 2, plan  # partial + final
+    assert "MapInArrow" in plan, "encode kernel missing"
+    assert "CartesianProduct" not in plan and "Join" not in plan, \
+        "codebook must ride the kernel closure, not a join"
+    # NO hash exchange at all (orderBy adds only a range one): the encode
+    # is a pure map -- the r7 groupBy argmin pass is gone
+    assert plan.count("Exchange hashpartitioning") == 0, plan
 
 
 def test_ann_pq_adc_and_rerank(spark):
