@@ -359,7 +359,13 @@ def _q_corpus_clean_pipeline(spark, sf_dir):
     wc = F.size(F.split(F.trim("main_text"), r"\s+"))
     quality = (F.length("main_text") > 0) & (wc >= 10)
     ext = extract_pages(pages, id_cols=("doc_id", "lang"))
-    passed = ext.select("doc_id", "lang", "main_text").filter(quality)
+    # round 8 (guide §2.4): both the ownership branch and the final
+    # anti-join consume the extract output, and Catalyst does not dedupe
+    # common subplans -- the parse+extract mapInArrow stage ran TWICE.
+    # localCheckpoint is the in-query mirror of the persisted extract
+    # table the docstring already promises production would read.
+    passed = (ext.select("doc_id", "lang", "main_text").filter(quality)
+              .localCheckpoint(eager=True))
     slim = passed.select("doc_id", F.md5("main_text").alias("h"))
     wh = Window.partitionBy("h")
     losers = (slim.withColumn("keep_id", F.min("doc_id").over(wh))

@@ -71,9 +71,13 @@ def title_of(doc: Doc) -> str:
                    if doc.name[c] == PCDATA)
 
 
-def extract_main_content(doc: Doc, dtd: Dtd) -> dict:
+def extract_main_content(doc: Doc, dtd: Dtd,
+                         with_main_text: bool = True) -> dict:
     """Returns {title, extracted_text, main_text, spans} for one Doc.
-    spans: list of (start, end, score) into extracted_text."""
+    spans: list of (start, end, score) into extracted_text.
+    with_main_text=False skips assembling the main_text string (the Arrow
+    pipeline rebuilds it JVM-side from extracted_text + spans and never
+    reads the Python copy -- round-8 measurement)."""
     body = find_first(doc, doc.root, "BODY")
     if body < 0:
         body = find_first(doc, doc.root, "FRAMESET")
@@ -132,7 +136,8 @@ def extract_main_content(doc: Doc, dtd: Dtd) -> dict:
     return {
         "title": title_of(doc),
         "extracted_text": extracted,
-        "main_text": "".join(extracted[a:b] for a, b, _, k in spans if k),
+        "main_text": ("".join(extracted[a:b] for a, b, _, k in spans if k)
+                      if with_main_text else None),
         "spans": spans,
     }
 

@@ -365,7 +365,8 @@ def _extract_pages_arrow(df: DataFrame, id_cols: tuple[str, ...],
                         cts[idx] if cts is not None else None)
                     doc = parse_html(dtd, text)
                     if need_extract:
-                        res = extract_main_content(doc, dtd)
+                        res = extract_main_content(doc, dtd,
+                                                   with_main_text=False)
                         title_v = res["title"]
                         text_v = res["extracted_text"]
                         spans_v = res["spans"]

@@ -372,13 +372,20 @@ def q_jaccard_pairs(spark, sf_dir, threshold: float = 0.5,
     shingle and J is the true Jaccard."""
     docs = _t(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
+    # round 8 (guide §2.4): Catalyst does not dedupe common subplans, so
+    # the distinct-shingle frame -- one full explode + exchange over the
+    # corpus -- previously re-executed for every consumer (keep, sizes,
+    # both self-join sides: 8 document scans in the before plan).
+    # Materialize it once (and once more after the df cap, which feeds
+    # three consumers); ids+shingles only, the incremental_dedup
+    # localCheckpoint precedent.
     sh = _shingles(docs.filter(F.size(words) >= 3)) \
-        .select("doc_id", "tri").distinct()
+        .select("doc_id", "tri").distinct().localCheckpoint(eager=True)
     keep = (sh.groupBy("tri")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= max_df)
             .select("tri"))
-    sh = sh.join(keep, "tri")
+    sh = sh.join(keep, "tri").localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("a_id"), "tri")
     b = sh.select(F.col("doc_id").alias("b_id"), "tri")
@@ -718,12 +725,19 @@ def q_minhash_est_pairs(spark, sf_dir, n_hashes: int = 16, n_bands: int = 4,
     default (64x any sane expected occupancy) never fires at gate scale,
     so the DuckDB oracle needs no cap clause; None disables."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = _minhash_sigs(docs, n_hashes, portable_hash)
+    # round 8 (guide §2.4): sigs feeds three consumers (banding + both
+    # estimator sides) and allb two (both self-join sides); without
+    # materialization every consumer re-ran the full shingle+minhash scan
+    # (8 document scans in the before plan).  Both frames are ids+hashes
+    # only -- the incremental_dedup localCheckpoint precedent.
+    sigs = _minhash_sigs(docs, n_hashes, portable_hash) \
+        .localCheckpoint(eager=True)
     allb = _minhash_banded(sigs, n_hashes, n_bands, portable_hash)
     if max_bucket is not None:
         wcap = Window.partitionBy("band", "bucket").orderBy("doc_id")
         allb = (allb.withColumn("_rn", F.row_number().over(wcap))
                 .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    allb = allb.localCheckpoint(eager=True)
     a = allb.select(F.col("doc_id").alias("a_id"), "band", "bucket")
     b = allb.select(F.col("doc_id").alias("b_id"), "band", "bucket")
     cand = (a.join(b, ["band", "bucket"])
@@ -3338,6 +3352,11 @@ def train_quality_classifier(feats, iters: int = 5, lr: float = 2.0):
     the exchange carries ONE ROW of partial gradient sums.
 
     Returns (scored DataFrame ordered by doc_id, weights list)."""
+    # round 8 (guide §2.4): every GD iteration is an action, and without
+    # materialization each of the 1 + iters + 1 passes re-ran the feature
+    # extraction (stopword regexp over every document).  feats is a tiny
+    # (doc_id, y, x1..x3) frame -- compute it once.
+    feats = feats.localCheckpoint(eager=True)
     st = feats.agg(*[f(c).alias(f"{n}{c}")
                      for c in ("x1", "x2", "x3")
                      for n, f in (("m", F.avg), ("s", F.stddev_samp))]
@@ -3675,6 +3694,11 @@ def q_lm_perplexity(spark, sf_dir, top_vocab: int = 500, k: float = 0.5):
     w = F.when(F.length(F.trim("text")) > 0,
                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
                ).otherwise(F.array().cast("array<string>"))
+    # round 8 (guide §2.4): this plan re-used pairs/vocab/m so many times
+    # that the corpus-wide bigram explode executed ~10x (20 document scans
+    # in the before plan: vocab alone re-derives pairs, and m -- consumed
+    # by big, uni and the scorer -- re-derives both).  Materialize each
+    # shared frame once; all are ids+words or bounded count tables.
     pairs = (docs.select("doc_id", w.alias("w"))
              .select("doc_id", F.explode(
                  F.when(F.size("w") > 0, F.arrays_zip(
@@ -3684,11 +3708,13 @@ def q_lm_perplexity(spark, sf_dir, top_vocab: int = 500, k: float = 0.5):
                  .otherwise(F.array().cast(
                      "array<struct<p:string,c:string>>"))).alias("pc"))
              .select("doc_id", F.col("pc.p").alias("p"),
-                     F.col("pc.c").alias("c")))
+                     F.col("pc.c").alias("c"))
+             .localCheckpoint(eager=True))
     vocab = (pairs.groupBy(F.col("c").alias("word"))
              .agg(F.count(F.lit(1)).alias("n"))
              .orderBy(F.col("n").desc(), "word").limit(top_vocab)
-             .select("word"))
+             .select("word")
+             .localCheckpoint(eager=True))
     m = (pairs
          .join(F.broadcast(vocab.withColumnRenamed("word", "vp")),
                F.col("p") == F.col("vp"), "left")
@@ -3697,8 +3723,10 @@ def q_lm_perplexity(spark, sf_dir, top_vocab: int = 500, k: float = 0.5):
          .select("doc_id",
                  F.when(F.col("p") == start, F.lit(start))
                   .otherwise(F.coalesce("vp", F.lit("<unk>"))).alias("pm"),
-                 F.coalesce("vc", F.lit("<unk>")).alias("cm")))
-    big = m.groupBy("pm", "cm").agg(F.count(F.lit(1)).alias("cb"))
+                 F.coalesce("vc", F.lit("<unk>")).alias("cm"))
+         .localCheckpoint(eager=True))
+    big = m.groupBy("pm", "cm").agg(F.count(F.lit(1)).alias("cb")) \
+        .localCheckpoint(eager=True)
     # unigram counts are the bigram table's row-sums -- derived from the
     # BOUNDED big table, NOT by a second corpus pass over m
     uni = big.groupBy("pm").agg(F.sum("cb").alias("cu"))
@@ -4011,10 +4039,15 @@ def q_repeated_span_clean(spark, sf_dir, w: int = 8, min_docs: int = 2):
     docs = _t(spark, sf_dir, "documents")
     g = _pos_ngrams(docs, w)
     md5 = F.md5(F.col("gram"))
+    # round 8 (guide §2.4): wk feeds both the ownership agg and the loser
+    # match join; un-materialized, the positional n-gram explode + md5 of
+    # every window ran twice (6 document scans in the before plan).  The
+    # frame is (hash, doc_id, pos) ints only.
     wk = g.select(
         "doc_id", "pos",
         F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h_hi"),
-        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h_lo"))
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h_lo")) \
+        .localCheckpoint(eager=True)
     dup = (wk.groupBy("h_hi", "h_lo")
            .agg(F.countDistinct("doc_id").alias("n_docs"),
                 F.min(F.struct("doc_id", "pos")).alias("own"))
@@ -5335,12 +5368,16 @@ def q_dsir_weights(spark, sf_dir, n_buckets: int = 256,
                 .cast("long") % n_buckets)
 
     a = float(smoothing)
+    # round 8 (guide §2.4): cnt feeds both the totals row and the model
+    # projection; un-materialized, the corpus-wide explode + per-word md5
+    # bucketing ran twice.  <= n_buckets rows.
     cnt = (base.select("lang", F.explode("ws").alias("w"))
            .select("lang", bucket(F.col("w")).alias("b"))
            .groupBy("b")
            .agg(F.count(F.lit(1)).alias("cr"),
                 F.sum(F.when(F.col("lang") == target_lang, 1)
-                      .otherwise(0)).alias("ct")))
+                      .otherwise(0)).alias("ct"))
+           .localCheckpoint(eager=True))
     tot = cnt.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     model = (cnt.crossJoin(F.broadcast(tot))
              .select("b", F.round(
