@@ -512,18 +512,62 @@ def _np_pair_dot(df, a_col: str, b_col: str, keep: list[str],
 _EMB_BCAST_MAX_BYTES = 64 << 20
 
 
-def _emb_matrix_bcast(emb, dim: int = 64):
+def _local_emb_table(sf_dir: str | None, dim: int = 64):
+    """(sorted ids, float32 matrix) read driver-side straight from a LOCAL
+    embeddings.parquet below the broadcast gate -- the footer-stats
+    pattern (_parquet_n_rows) extended to the bounded-collection case: it
+    saves one Spark job per bounded codebook/query collection.  Returns
+    None for non-local/oversized tables; callers fall back to a
+    distributed collect."""
+    import glob
+    import os
+    if sf_dir is None:
+        return None
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        if os.path.isdir(path):
+            files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                     recursive=True))
+        elif os.path.isfile(path):
+            files = [path]
+        else:
+            return None
+        if not files or sum(os.path.getsize(f) for f in files) \
+                > _EMB_BCAST_MAX_BYTES:
+            return None
+        tbl = pq.read_table(files, columns=["vec_id", "embedding"])
+        ids = np.asarray(tbl.column("vec_id").to_numpy(
+            zero_copy_only=False))
+        mat = np.asarray(
+            tbl.column("embedding").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False),
+            dtype=np.float32).reshape(-1, dim)
+        order = np.argsort(ids)
+        return ids[order], mat[order]
+    except Exception:
+        return None
+
+
+def _emb_matrix_bcast(emb, dim: int = 64, sf_dir: str | None = None):
     """Broadcast (sorted ids, float32 matrix, float64 norms) of the whole
-    embeddings frame, or None when it exceeds the broadcast gate.  Norms
-    use the same sequential fold as _np_normed (bit-identical)."""
+    embeddings frame.  Norms use the same sequential fold as _np_normed
+    (bit-identical)."""
     import numpy as np
-    tbl = emb.select("vec_id", "embedding").toArrow()
-    ids = np.asarray(tbl.column("vec_id").to_numpy(zero_copy_only=False))
-    mat = np.asarray(
-        tbl.column("embedding").combine_chunks().flatten()
-        .to_numpy(zero_copy_only=False), dtype=np.float32).reshape(-1, dim)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
+    local = _local_emb_table(sf_dir, dim)
+    if local is not None:
+        ids, mat = local
+    else:
+        tbl = emb.select("vec_id", "embedding").toArrow()
+        ids = np.asarray(tbl.column("vec_id").to_numpy(
+            zero_copy_only=False))
+        mat = np.asarray(
+            tbl.column("embedding").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False),
+            dtype=np.float32).reshape(-1, dim)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
     norms = np.sqrt(_np_seq_dot(mat.astype(np.float64),
                                 mat.astype(np.float64)))
     return emb.sparkSession.sparkContext.broadcast((ids, mat, norms))
@@ -2416,7 +2460,8 @@ def q_embedding_neardup_lsh(spark, sf_dir, threshold: float = 0.4,
     # the gate the per-pair join shape takes over unchanged.
     n = _embeddings_n_rows(emb, sf_dir, n_rows)
     if n * 64 * 4 <= _EMB_BCAST_MAX_BYTES:
-        scored = _np_pair_dot_bcast(pairs, _emb_matrix_bcast(emb))
+        scored = _np_pair_dot_bcast(
+            pairs, _emb_matrix_bcast(emb, sf_dir=sf_dir))
     else:
         normed = _np_normed(emb).localCheckpoint(eager=True)
         ea = normed.select(F.col("vec_id").alias("a_id"),
@@ -4821,13 +4866,20 @@ def q_semantic_dedup(spark, sf_dir, threshold: float = 0.4,
     # and reranks through the broadcast-matrix kernel below the §3.1 size
     # gate (per-pair join fallback above it); division, rounding and the
     # threshold stay JVM-side.
-    crows = sorted(
-        emb.filter(F.col("vec_id") % step == 0)
-        .select(F.col("vec_id").alias("c_id"), "embedding").collect(),
-        key=lambda r: r.c_id)
-    c_ids = [int(r.c_id) for r in crows]
-    c_mat = np.asarray([list(r.embedding) for r in crows],
-                       dtype=np.float32).astype(np.float64)
+    local = _local_emb_table(sf_dir)
+    if local is not None:  # bounded centroid set without a Spark job
+        ids, mat = local
+        sel = ids % step == 0
+        c_ids = [int(v) for v in ids[sel]]
+        c_mat = mat[sel].astype(np.float64)
+    else:
+        crows = sorted(
+            emb.filter(F.col("vec_id") % step == 0)
+            .select(F.col("vec_id").alias("c_id"), "embedding").collect(),
+            key=lambda r: r.c_id)
+        c_ids = [int(r.c_id) for r in crows]
+        c_mat = np.asarray([list(r.embedding) for r in crows],
+                           dtype=np.float32).astype(np.float64)
     c_norm = np.sqrt(_np_seq_dot(c_mat, c_mat))
     bc = emb.sparkSession.sparkContext.broadcast((c_ids, c_mat, c_norm))
 
@@ -4857,7 +4909,8 @@ def q_semantic_dedup(spark, sf_dir, threshold: float = 0.4,
              .filter(F.col("a_id") < F.col("b_id"))
              .select("a_id", "b_id"))
     if n * 64 * 4 <= _EMB_BCAST_MAX_BYTES:
-        scored = _np_pair_dot_bcast(pairs, _emb_matrix_bcast(emb))
+        scored = _np_pair_dot_bcast(
+            pairs, _emb_matrix_bcast(emb, sf_dir=sf_dir))
     else:
         normed = _np_normed(emb).localCheckpoint(eager=True)
         ea = normed.select(F.col("vec_id").alias("a_id"),
@@ -4971,12 +5024,19 @@ def _pq_codes(spark, sf_dir, m: int = 8, n_sub_cents: int = 16,
     import numpy as np
     import pyarrow as pa
     emb = _t(spark, sf_dir, "embeddings")
-    cents, _ = _pq_codebook(emb, sf_dir, m, n_sub_cents, n_rows)
+    cents, step = _pq_codebook(emb, sf_dir, m, n_sub_cents, n_rows)
     d_sub = 64 // m
-    crows = sorted(cents.collect(), key=lambda r: r.c_id)
-    c_ids = [int(r.c_id) for r in crows]
-    c_mat = np.asarray([list(r.c_emb) for r in crows],
-                       dtype=np.float32).astype(np.float64)
+    local = _local_emb_table(sf_dir)
+    if local is not None:  # bounded codebook without a Spark job
+        ids, mat = local
+        sel = ids % step == 0
+        c_ids = [int(v) for v in ids[sel]]
+        c_mat = mat[sel].astype(np.float64)
+    else:
+        crows = sorted(cents.collect(), key=lambda r: r.c_id)
+        c_ids = [int(r.c_id) for r in crows]
+        c_mat = np.asarray([list(r.c_emb) for r in crows],
+                           dtype=np.float32).astype(np.float64)
     nc = len(c_ids)
 
     def fn(batches):
@@ -5082,8 +5142,9 @@ def q_ann_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
     exploits; the operator shape is unchanged."""
     codes, cents = _pq_codes(spark, sf_dir, m, n_sub_cents, n_rows)
     emb = _t(spark, sf_dir, "embeddings")
+    _, step = _pq_codebook(emb, sf_dir, m, n_sub_cents, n_rows)
     return _adc_topk(codes, cents, emb, k=k, n_queries=n_queries, m=m,
-                     rerank=rerank)
+                     rerank=rerank, sf_dir=sf_dir, cent_step=step)
 
 
 def _java_round(x: float, scale: int = 6) -> float:
@@ -5120,10 +5181,15 @@ def _round6_micro(x):
 
 
 def _adc_topk(codes, cents, emb, k: int, n_queries: int, m: int,
-              rerank: int | None):
+              rerank: int | None, sf_dir: str | None = None,
+              cent_step: int | None = None):
     """ADC scoring core shared by q_ann_pq_topk (inline encode) and
     q_ann_pq_index_topk (persisted index): per-query LUTs, compressed-
-    domain scan, top-k window, optional exact-rerank tail.
+    domain scan, top-k window, optional exact-rerank tail.  sf_dir +
+    cent_step, when the embeddings are a local parquet table under the
+    broadcast gate, let the bounded codebook/query collections skip
+    their Spark jobs (inline path only -- the persisted-index path reads
+    its own codebook table and keeps the collect).
 
     Round 8: the LUTs (n_queries x m x n_sub_cents rounded distances --
     KBs) are computed DRIVER-side from the two bounded tables (queries,
@@ -5136,18 +5202,28 @@ def _adc_topk(codes, cents, emb, k: int, n_queries: int, m: int,
     import numpy as np
     import pyarrow as pa
     d_sub = 64 // m
-    crows = sorted(cents.collect(), key=lambda r: r.c_id)
-    c_ids = np.asarray([int(r.c_id) for r in crows])
-    c_mat = np.asarray([list(r.c_emb) for r in crows],
-                       dtype=np.float32).astype(np.float64)
+    local = _local_emb_table(sf_dir) if cent_step is not None else None
     qs = (emb.filter(F.col("vec_id") < n_queries)
           .select(F.col("vec_id").alias("q_id"),
                   F.col("embedding").alias("q_emb")))
-    qrows = sorted(qs.collect(), key=lambda r: r.q_id)
-    q_ids = [int(r.q_id) for r in qrows]
-    q_mat = np.asarray([list(r.q_emb) for r in qrows],
-                       dtype=np.float32).astype(np.float64)
-    nc, nq = len(crows), len(qrows)
+    if local is not None:
+        ids, mat = local
+        sel = ids % cent_step == 0
+        c_ids = np.asarray(ids[sel])
+        c_mat = mat[sel].astype(np.float64)
+        qsel = ids < n_queries
+        q_ids = [int(v) for v in ids[qsel]]
+        q_mat = mat[qsel].astype(np.float64)
+    else:
+        crows = sorted(cents.collect(), key=lambda r: r.c_id)
+        c_ids = np.asarray([int(r.c_id) for r in crows])
+        c_mat = np.asarray([list(r.c_emb) for r in crows],
+                           dtype=np.float32).astype(np.float64)
+        qrows = sorted(qs.collect(), key=lambda r: r.q_id)
+        q_ids = [int(r.q_id) for r in qrows]
+        q_mat = np.asarray([list(r.q_emb) for r in qrows],
+                           dtype=np.float32).astype(np.float64)
+    nc, nq = len(c_ids), len(q_ids)
     lut = np.empty((nq, m, nc))
     for j in range(m):
         sl = slice(j * d_sub, (j + 1) * d_sub)
