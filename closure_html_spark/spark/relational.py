@@ -3915,11 +3915,18 @@ def q_repeated_spans(spark, sf_dir, w: int = 8, min_docs: int = 2):
     not a broadcast."""
     docs = _t(spark, sf_dir, "documents")
     g = _pos_ngrams(docs, w)
-    md5 = F.md5(F.col("gram"))
+    # round 8: the window key is OUTPUT-INVISIBLE (only gram equality
+    # matters, and equal grams hash equal under any function), so the
+    # md5 + hex-substring + conv chain -- measured ~20% of this query's
+    # wall -- is swapped for two codegen'd xxhash64 calls.  The oracle
+    # keeps md5: outputs agree unless two DISTINCT grams collide on the
+    # full 128-bit pair (~N^2/2^128).  q_simhash's h_hi/h_lo stay md5 --
+    # its output VALUE is derived from the hash bits.
     wk = g.select(
         "doc_id", "pos",
-        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h_hi"),
-        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h_lo"))
+        F.xxhash64("gram").alias("h_hi"),
+        F.xxhash64(F.lit(1), F.col("gram")).alias("h_lo")) \
+        .localCheckpoint(eager=True)  # feeds the count agg AND the join
     dup = (wk.groupBy("h_hi", "h_lo")
            .agg(F.countDistinct("doc_id").alias("n_docs"))
            .filter(F.col("n_docs") >= min_docs))
@@ -4083,15 +4090,17 @@ def q_repeated_span_clean(spark, sf_dir, w: int = 8, min_docs: int = 2):
     on rows whose interval list is non-null (the duplicated fraction)."""
     docs = _t(spark, sf_dir, "documents")
     g = _pos_ngrams(docs, w)
-    md5 = F.md5(F.col("gram"))
     # round 8 (guide §2.4): wk feeds both the ownership agg and the loser
-    # match join; un-materialized, the positional n-gram explode + md5 of
-    # every window ran twice (6 document scans in the before plan).  The
-    # frame is (hash, doc_id, pos) ints only.
+    # match join; un-materialized, the positional n-gram explode + window
+    # hashing ran twice (6 document scans in the before plan).  The frame
+    # is (hash, doc_id, pos) ints only.  The window key is also swapped
+    # md5 -> two xxhash64 calls (same argument as q_repeated_spans: the
+    # key is output-invisible, equal grams stay equal, distinct grams
+    # collide only on a full 128-bit pair; measured ~20% of the wall).
     wk = g.select(
         "doc_id", "pos",
-        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h_hi"),
-        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h_lo")) \
+        F.xxhash64("gram").alias("h_hi"),
+        F.xxhash64(F.lit(1), F.col("gram")).alias("h_lo")) \
         .localCheckpoint(eager=True)
     dup = (wk.groupBy("h_hi", "h_lo")
            .agg(F.countDistinct("doc_id").alias("n_docs"),
