@@ -602,6 +602,40 @@ def _np_pair_dot_bcast(pairs, bc, a_id: str = "a_id", b_id: str = "b_id"):
             "a_norm double, b_norm double")
 
 
+def _np_cent_sims(emb, c_ids, c_mat, dim: int = 64):
+    """(vec_id, c_id, raw) rows -- raw = dot(v, c) / (|v| * |c|) UNROUNDED
+    -- for every (vector, centroid) pair, from one numpy kernel with the
+    bounded centroid matrix in the closure: the kernel twin of the
+    `ev.crossJoin(broadcast(cents))` + interpreted-fold shape (same
+    sequential float64 fold + division, so F.round(raw, 6) downstream is
+    bit-identical to the old in-join rounding)."""
+    import numpy as np
+    import pyarrow as pa
+    cid_arr = np.asarray([int(c) for c in c_ids], dtype=np.int64)
+    cm = np.asarray(c_mat, dtype=np.float64)
+    cn = np.sqrt(_np_seq_dot(cm, cm))
+    nc = len(cid_arr)
+
+    def fn(batches):
+        for b in batches:
+            e = _np_embs(b.column("embedding"), dim)
+            n = e.shape[0]
+            vn = np.sqrt(_np_seq_dot(e, e))
+            vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+            sims = np.empty((n, nc))
+            for ci in range(nc):
+                d = _np_seq_dot(e, np.broadcast_to(cm[ci], e.shape))
+                sims[:, ci] = d / (vn * cn[ci])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(vid, nc), pa.int64()),
+                 pa.array(np.tile(cid_arr, n), pa.int64()),
+                 pa.array(sims.reshape(-1), pa.float64())],
+                names=["vec_id", "c_id", "raw"])
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        fn, "vec_id bigint, c_id bigint, raw double")
+
+
 def _np_normed(emb, dim: int = 64, out: str = "norm"):
     """(vec_id, embedding, norm) with norm = sqrt(fold(x^2)) -- the numpy
     twin of the per-vector norm lambda (same sequential add order; IEEE
@@ -2497,29 +2531,36 @@ def q_ann_lsh_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
     Self-sizing reads N from parquet footer stats (no scan job); pass
     n_rows or band_bits explicitly for non-local-parquet inputs."""
     emb = _t(spark, sf_dir, "embeddings")
+    n = _embeddings_n_rows(emb, sf_dir, n_rows)
     if band_bits is None:
-        band_bits = lsh_band_bits(_embeddings_n_rows(emb, sf_dir, n_rows))
-    bands = _rhp_bands(F.col("embedding"), band_bits, n_bands)
-    banded = emb.select("vec_id", F.explode(bands).alias("bk"))
+        band_bits = lsh_band_bits(n)
+    # round 8: same kernel + materialize-once treatment as
+    # q_embedding_neardup_lsh (the interpreted banding previously ran
+    # twice -- query side and corpus side)
+    banded = _rhp_bands_np(emb, band_bits, n_bands) \
+        .localCheckpoint(eager=True)
     qs = (banded.filter(F.col("vec_id") < n_queries)
           .select(F.col("vec_id").alias("q_id"), F.col("bk").alias("q_bk")))
     cands = (F.broadcast(qs).join(banded, qs.q_bk == banded.bk)
              .filter(F.col("vec_id") != F.col("q_id"))
              .select("q_id", "vec_id")
              .dropDuplicates(["q_id", "vec_id"]))
-    # norms once per vector, not per candidate row (interpreted HOFs)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    eq = emb.select(F.col("vec_id").alias("q_id"),
-                    F.col("embedding").alias("q_emb"),
-                    norm(F.col("embedding")).alias("q_norm"))
-    ev = emb.select("vec_id", "embedding",
-                    norm(F.col("embedding")).alias("v_norm"))
-    dot = _dot_expr(F.col("q_emb"), F.col("embedding"))
-    sim = F.round(dot / (F.col("q_norm") * F.col("v_norm")), 6)
-    scored = (cands.join(F.broadcast(eq), "q_id").join(ev, "vec_id")
-              .select("q_id", "vec_id", sim.alias("sim")))
+    if n * 64 * 4 <= _EMB_BCAST_MAX_BYTES:
+        scored = _np_pair_dot_bcast(cands, _emb_matrix_bcast(
+            emb, sf_dir=sf_dir), a_id="q_id", b_id="vec_id")
+    else:
+        normed = _np_normed(emb).localCheckpoint(eager=True)
+        eq = normed.select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_emb"),
+                           F.col("norm").alias("a_norm"))
+        ev = normed.select("vec_id",
+                           F.col("embedding").alias("v_emb"),
+                           F.col("norm").alias("b_norm"))
+        scored = _np_pair_dot(
+            cands.join(F.broadcast(eq), "q_id").join(ev, "vec_id"),
+            "q_emb", "v_emb", keep=["q_id", "vec_id", "a_norm", "b_norm"])
+    sim = F.round(F.col("dot") / (F.col("a_norm") * F.col("b_norm")), 6)
+    scored = scored.select("q_id", "vec_id", sim.alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
@@ -2683,10 +2724,33 @@ def q_ann_ivf_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
                      lambda s: s["m"]).alias("c_emb"))
                  .select(F.col("cell").alias("c_id"), "c_emb",
                          norm(F.col("c_emb")).alias("c_norm")))
-    sim_c = F.round(_dot_expr(F.col("embedding"), F.col("c_emb")) /
-                    (F.col("v_norm") * F.col("c_norm")), 6)
-    pairs = (ev.crossJoin(F.broadcast(cents))
-             .select("vec_id", "c_id", sim_c.alias("sim_c")))
+    if kmeans_iters == 0:
+        # round 8: assignment sims from the _np_cent_sims kernel (raw
+        # division in the kernel, 6dp round here -- bit-identical), the
+        # pair frame materialized once for its two consumers (cells +
+        # probes); rerank through the size-gated broadcast matrix
+        import numpy as np
+        local = _local_emb_table(sf_dir)
+        if local is not None:
+            ids, mat = local
+            sel = ids % step == 0
+            c_ids = [int(v) for v in ids[sel]]
+            c_mat = mat[sel].astype(np.float64)
+        else:
+            crows = sorted(cents.select("c_id", "c_emb").collect(),
+                           key=lambda r: r.c_id)
+            c_ids = [int(r.c_id) for r in crows]
+            c_mat = np.asarray([list(r.c_emb) for r in crows],
+                               dtype=np.float32).astype(np.float64)
+        pairs = (_np_cent_sims(emb, c_ids, c_mat)
+                 .select("vec_id", "c_id",
+                         F.round(F.col("raw"), 6).alias("sim_c"))
+                 .localCheckpoint(eager=True))
+    else:
+        sim_c = F.round(_dot_expr(F.col("embedding"), F.col("c_emb")) /
+                        (F.col("v_norm") * F.col("c_norm")), 6)
+        pairs = (ev.crossJoin(F.broadcast(cents))
+                 .select("vec_id", "c_id", sim_c.alias("sim_c")))
     # nearest centroid via max(struct(sim, -c_id)): partial agg (map-side
     # combine), deterministic tie-break to the smallest centroid id
     cells = (pairs.groupBy("vec_id")
@@ -2702,13 +2766,19 @@ def q_ann_ivf_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
     cand = (F.broadcast(probes).join(cells, "cell")
             .filter(F.col("vec_id") != F.col("q_id"))
             .select("q_id", "vec_id"))   # cells are disjoint: no dup pairs
-    eq = emb.select(F.col("vec_id").alias("q_id"),
-                    F.col("embedding").alias("q_emb"),
-                    norm(F.col("embedding")).alias("q_norm"))
-    sim = F.round(_dot_expr(F.col("q_emb"), F.col("embedding")) /
-                  (F.col("q_norm") * F.col("v_norm")), 6)
-    scored = (cand.join(F.broadcast(eq), "q_id").join(ev, "vec_id")
-              .select("q_id", "vec_id", sim.alias("sim")))
+    if kmeans_iters == 0 and n * 64 * 4 <= _EMB_BCAST_MAX_BYTES:
+        scored = _np_pair_dot_bcast(cand, _emb_matrix_bcast(
+            emb, sf_dir=sf_dir), a_id="q_id", b_id="vec_id")
+        sim = F.round(F.col("dot") / (F.col("a_norm") * F.col("b_norm")), 6)
+        scored = scored.select("q_id", "vec_id", sim.alias("sim"))
+    else:
+        eq = emb.select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_emb"),
+                        norm(F.col("embedding")).alias("q_norm"))
+        sim = F.round(_dot_expr(F.col("q_emb"), F.col("embedding")) /
+                      (F.col("q_norm") * F.col("v_norm")), 6)
+        scored = (cand.join(F.broadcast(eq), "q_id").join(ev, "vec_id")
+                  .select("q_id", "vec_id", sim.alias("sim")))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
@@ -5781,19 +5851,29 @@ def q_ann_ivfadc_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
     emb = _t(spark, sf_dir, "embeddings")
     n = _embeddings_n_rows(emb, sf_dir, n_rows)
     step = max(1, math.ceil(n / n_cells))
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    cents = (emb.filter(F.col("vec_id") % step == 0)
-             .select(F.col("vec_id").alias("c_id"),
-                     F.col("embedding").alias("c_emb"),
-                     norm(F.col("embedding")).alias("c_norm")))
-    ev = emb.select("vec_id", "embedding",
-                    norm(F.col("embedding")).alias("v_norm"))
-    sim_c = F.round(_dot_expr(F.col("embedding"), F.col("c_emb")) /
-                    (F.col("v_norm") * F.col("c_norm")), 6)
-    pairs = (ev.crossJoin(F.broadcast(cents))
-             .select("vec_id", "c_id", sim_c.alias("sim_c")))
+    # round 8: coarse-assignment sims from the _np_cent_sims kernel (raw
+    # division in the kernel, 6dp round here -- bit-identical to the old
+    # broadcast-crossJoin interpreted folds), materialized once for the
+    # cells + probes consumers
+    import numpy as np
+    local = _local_emb_table(sf_dir)
+    if local is not None:
+        lids, lmat = local
+        sel = lids % step == 0
+        c_ids = [int(v) for v in lids[sel]]
+        c_mat = lmat[sel].astype(np.float64)
+    else:
+        crows = sorted(
+            emb.filter(F.col("vec_id") % step == 0)
+            .select(F.col("vec_id").alias("c_id"), "embedding").collect(),
+            key=lambda r: r.c_id)
+        c_ids = [int(r.c_id) for r in crows]
+        c_mat = np.asarray([list(r.embedding) for r in crows],
+                           dtype=np.float32).astype(np.float64)
+    pairs = (_np_cent_sims(emb, c_ids, c_mat)
+             .select("vec_id", "c_id",
+                     F.round(F.col("raw"), 6).alias("sim_c"))
+             .localCheckpoint(eager=True))
     cells = (pairs.groupBy("vec_id")
              .agg(F.max(F.struct(F.col("sim_c").alias("s"),
                                  (-F.col("c_id")).alias("nc"))).alias("x"))
