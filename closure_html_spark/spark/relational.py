@@ -658,20 +658,32 @@ def _np_normed(emb, dim: int = 64, out: str = "norm"):
 
 def q_ann_cosine_topk(spark, sf_dir, k: int = 5, n_queries: int = 3):
     """Brute-force cosine top-k similarity search -- the exact baseline for
-    ANN.  Query vectors = embeddings with vec_id < n_queries; crossJoin with
-    broadcast query side, zip_with/aggregate dot (see _dot_expr)."""
+    ANN.  Query vectors = embeddings with vec_id < n_queries.
+
+    Round 8: the bounded query side rides the _np_cent_sims kernel's
+    closure (queries play the centroid role) instead of a broadcast
+    crossJoin with interpreted per-row folds; dot and norms keep the fold
+    order (and dot/norm-product commutativity is exact in IEEE floats, so
+    sim is bit-identical); 6dp rounding stays JVM-side."""
+    import numpy as np
     emb = _t(spark, sf_dir, "embeddings")
-    qs = (emb.filter(F.col("vec_id") < n_queries)
-          .select(F.col("vec_id").alias("q_id"),
-                  F.col("embedding").alias("q_emb")))
-    dot = _dot_expr(F.col("q_emb"), F.col("embedding"))
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    sim = F.round(dot / (norm(F.col("q_emb")) * norm(F.col("embedding"))), 6)
-    scored = (F.broadcast(qs).crossJoin(emb)
-              .filter(F.col("vec_id") != F.col("q_id"))
-              .select("q_id", "vec_id", sim.alias("sim")))
+    local = _local_emb_table(sf_dir)
+    if local is not None:
+        ids, mat = local
+        sel = ids < n_queries
+        q_ids = [int(v) for v in ids[sel]]
+        q_mat = mat[sel].astype(np.float64)
+    else:
+        qrows = sorted(emb.filter(F.col("vec_id") < n_queries)
+                       .select("vec_id", "embedding").collect(),
+                       key=lambda r: r.vec_id)
+        q_ids = [int(r.vec_id) for r in qrows]
+        q_mat = np.asarray([list(r.embedding) for r in qrows],
+                           dtype=np.float32).astype(np.float64)
+    scored = (_np_cent_sims(emb, q_ids, q_mat)
+              .filter(F.col("vec_id") != F.col("c_id"))
+              .select(F.col("c_id").alias("q_id"), "vec_id",
+                      F.round(F.col("raw"), 6).alias("sim")))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
