@@ -5260,14 +5260,23 @@ def _round6_micro(x):
     path."""
     import numpy as np
     y = x * 1e6
-    r = np.floor(y + 0.5)
+    fin = np.isfinite(y)
+    r = np.floor(np.where(fin, y, 0.0) + 0.5)
     out = r.astype(np.int64)
-    sus = np.abs(y - (r - 0.5)) < 1e-3
+    sus = fin & (np.abs(y - (r - 0.5)) < 1e-3)
     if sus.any():
         from decimal import ROUND_HALF_UP, Decimal
         for i in np.nonzero(sus)[0]:
             out[i] = int(Decimal(repr(float(x[i]))).scaleb(6)
                          .quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    if not fin.all():
+        # degenerate inputs (zero-norm vector -> inf/nan sims): replicate
+        # Spark's double ordering NaN > +Inf > finite > -Inf so a
+        # comparison consumer (argmax) ranks them identically
+        big = np.iinfo(np.int64).max
+        out[np.isnan(y)] = big
+        out[np.isposinf(y)] = big - 1
+        out[np.isneginf(y)] = np.iinfo(np.int64).min + 1
     return out
 
 

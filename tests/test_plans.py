@@ -53,8 +53,14 @@ def test_column_pruning_through_extraction(spark, tmp_path_factory):
 
 
 def test_ann_broadcasts_query_side(spark):
+    """Round 8: the bounded query side rides the _np_cent_sims kernel's
+    closure instead of a broadcast crossJoin -- the corpus streams
+    through ONE MapInArrow pass with no join of the embedding table at
+    all (the pre-r8 shape was BroadcastNestedLoopJoin)."""
     plan = plan_of(R.q_ann_cosine_topk(spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInArrow" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_no_python_udf_in_relational_queries(spark):
