@@ -3317,7 +3317,8 @@ ORACLE_DOMAIN_MIX = _domain_mix_oracle_sql(0.3)
 
 def incremental_dedup(index_docs, batch_docs, n_hashes: int = 16,
                       n_bands: int = 4, threshold: float = 0.5,
-                      max_bucket: int | None = 65536):
+                      max_bucket: int | None = 65536,
+                      i_hash=None, b_hash=None, i_sigs=None, b_sigs=None):
     """Classify every BATCH document against the INDEX corpus:
     ``exact_dup`` (content hash already in the index), ``near_dup``
     (shares a MinHash band bucket with an index doc and estimated
@@ -3335,9 +3336,17 @@ def incremental_dedup(index_docs, batch_docs, n_hashes: int = 16,
     gate is self-contained -- the derivation cost is the one-time index
     build, not the per-ingest cost.  max_bucket bounds hot buckets on
     the index side (same guard as q_minhash_est_pairs); the persisted
-    index would store bands already capped."""
-    b_hash = batch_docs.select("doc_id", F.md5("text").alias("h"))
-    i_hash = index_docs.select(F.md5("text").alias("h"))
+    index would store bands already capped.
+
+    i_hash/b_hash/i_sigs/b_sigs accept precomputed content-hash /
+    signature frames (round 8): when both sides are slices of ONE corpus
+    (the q_incremental_dedup gate), the caller derives them from a
+    single shared scan instead of re-scanning the text per side --
+    exactly the persisted-index read the docstring describes."""
+    if b_hash is None:
+        b_hash = batch_docs.select("doc_id", F.md5("text").alias("h"))
+    if i_hash is None:
+        i_hash = index_docs.select(F.md5("text").alias("h"))
     exact_ids = (i_hash.join(F.broadcast(b_hash), "h")
                  .select("doc_id").distinct())
 
@@ -3348,8 +3357,10 @@ def incremental_dedup(index_docs, batch_docs, n_hashes: int = 16,
     # shingle+minhash scan.  This is the in-query mirror of the
     # persisted index: production reads i_sigs/i_bands from the stored
     # corpus-index table instead of computing them at all.
-    i_sigs = _minhash_sigs(index_docs, n_hashes).localCheckpoint()
-    b_sigs = _minhash_sigs(batch_docs, n_hashes).localCheckpoint()
+    if i_sigs is None:
+        i_sigs = _minhash_sigs(index_docs, n_hashes).localCheckpoint()
+    if b_sigs is None:
+        b_sigs = _minhash_sigs(batch_docs, n_hashes).localCheckpoint()
     i_bands = _minhash_banded(i_sigs, n_hashes, n_bands)
     if max_bucket is not None:
         wcap = Window.partitionBy("band", "bucket").orderBy("doc_id")
@@ -3399,7 +3410,19 @@ def q_incremental_dedup(spark, sf_dir, batch_mod: int = 10,
     the near_dup/new split (40+ straddling near-pairs at sf0.01)."""
     docs = _t(spark, sf_dir, "documents")
     is_batch = (F.col("doc_id") % batch_mod) >= batch_min
-    return incremental_dedup(docs.filter(~is_batch), docs.filter(is_batch))
+    # round 8 (guide §2.4): both sides are slices of ONE corpus, so the
+    # content hashes and MinHash signatures come from a single shared
+    # scan each (per-doc computations commute with the doc_id filter
+    # exactly), then split -- 4 corpus text passes become 2
+    hashes = docs.select("doc_id", F.md5("text").alias("h")) \
+        .localCheckpoint(eager=True)
+    sigs = _minhash_sigs(docs).localCheckpoint(eager=True)
+    return incremental_dedup(
+        docs.filter(~is_batch), docs.filter(is_batch),
+        i_hash=hashes.filter(~is_batch).select("h"),
+        b_hash=hashes.filter(is_batch),
+        i_sigs=sigs.filter(~is_batch),
+        b_sigs=sigs.filter(is_batch))
 
 
 def _incremental_dedup_oracle_sql(n_hashes: int = 16, n_bands: int = 4,
@@ -5196,7 +5219,10 @@ def q_pq_encode(spark, sf_dir, m: int = 8, n_sub_cents: int = 16,
     _IVF_COS convention); qerr = sum of the 8 min distances is the
     reconstruction-error audit column."""
     codes, _ = _pq_codes(spark, sf_dir, m, n_sub_cents, n_rows)
-    return codes.orderBy("vec_id")
+    # the orderBy exists for the deterministic oracle compare, and range
+    # partitioning samples its child -- materialize the (ints-only)
+    # codes once so the encode kernel is not executed twice (guide §2.4)
+    return codes.localCheckpoint(eager=True).orderBy("vec_id")
 
 
 def q_ann_pq_topk(spark, sf_dir, k: int = 5, n_queries: int = 3,
