@@ -375,17 +375,17 @@ def q_jaccard_pairs(spark, sf_dir, threshold: float = 0.5,
     # round 8 (guide §2.4): Catalyst does not dedupe common subplans, so
     # the distinct-shingle frame -- one full explode + exchange over the
     # corpus -- previously re-executed for every consumer (keep, sizes,
-    # both self-join sides: 8 document scans in the before plan).
-    # Materialize it once (and once more after the df cap, which feeds
-    # three consumers); ids+shingles only, the incremental_dedup
-    # localCheckpoint precedent.
-    sh = _shingles(docs.filter(F.size(words) >= 3)) \
-        .select("doc_id", "tri").distinct().localCheckpoint(eager=True)
-    keep = (sh.groupBy("tri")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("tri"))
-    sh = sh.join(keep, "tri").localCheckpoint(eager=True)
+    # both self-join sides: 8 document scans in the before plan).  The df
+    # cap is a count-over-window on the same tri key (one exchange, no
+    # groupBy + re-join), and the capped frame is materialized once for
+    # its three consumers (ids+shingles only, the incremental_dedup
+    # localCheckpoint precedent).
+    sh0 = _shingles(docs.filter(F.size(words) >= 3)) \
+        .select("doc_id", "tri").distinct()
+    wdf = Window.partitionBy("tri")
+    sh = (sh0.withColumn("df", F.count(F.lit(1)).over(wdf))
+          .filter(F.col("df") <= max_df).drop("df")
+          .localCheckpoint(eager=True))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("a_id"), "tri")
     b = sh.select(F.col("doc_id").alias("b_id"), "tri")
