@@ -260,6 +260,14 @@ def q_media_phash_neardup(spark, sf_dir, max_hamming: int = 1,
     N^2 exactly like MinHash banding -- max_bucket keeps the
     lowest-media_id members per (band, val) bucket, the house hot-key
     cap.  All-integer outputs, so the DuckDB oracle hashes exactly."""
+    if max_hamming > 1:
+        # the fixed 2-band split is only pigeonhole-exact for
+        # max_hamming <= 1; a larger radius needs max_hamming+1 bands
+        # or pairs differing in both bands are silently lost at the
+        # candidate-generation stage
+        raise ValueError(
+            "q_media_phash_neardup's 2-band candidate generation is "
+            f"exact only for max_hamming <= 1 (got {max_hamming})")
     media = media_from_documents(spark, sf_dir) \
         .filter(F.col("mime") == "fake/image")
     digest = F.sha2(F.col("payload"), 256)

@@ -6170,12 +6170,17 @@ def feed_entries(df, body_col: str = "feed"):
     map-side explode, no shuffle; feeds whose entries lack a date get
     pub_epoch NULL rather than dropping the row."""
     is_rss = F.col(body_col).contains("<rss")
+    # (?s): Java regex '.' does not match newlines, and real feeds put
+    # newlines inside every <item>/<entry> block; without DOTALL the
+    # extraction silently yields zero entries on multi-line bodies
+    # (single-line bodies -- the gate corpus -- are unaffected)
     blocks = F.when(
         is_rss,
-        F.expr(f"regexp_extract_all({body_col}, '<item>(.*?)</item>', 1)")
+        F.expr(f"regexp_extract_all({body_col}, "
+               "'(?s)<item>(.*?)</item>', 1)")
     ).otherwise(
         F.expr(f"regexp_extract_all({body_col}, "
-               "'<entry>(.*?)</entry>', 1)"))
+               "'(?s)<entry>(.*?)</entry>', 1)"))
     b = F.col("b")
     rss_url = F.regexp_extract(b, "<link>([^<]*)</link>", 1)
     atom_url = F.regexp_extract(b, '<link href="([^"]*)"', 1)

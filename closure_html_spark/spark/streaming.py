@@ -376,14 +376,27 @@ def stream_cardinality(df: DataFrame, key_col: str = "url",
     )
 
 
-def hll_estimate(group_rows, p: int = 10) -> float:
+def hll_estimate(group_rows, p: int = 10,
+                 n_groups: int | None = None) -> float:
     """Combine stream_cardinality's per-group rows (the LATEST row per
     grp) into the corpus-wide HLL estimate -- the same estimator (raw +
-    linear-counting branch) as relational.q_vocab_hll."""
+    linear-counting branch) as relational.q_vocab_hll.
+
+    A group that never received a key emits no row, so its all-zero
+    register slice (2^-0 = 1 per register) would silently drop out of
+    sum_inv and inflate the estimate; pass n_groups (the value given to
+    stream_cardinality) to credit absent groups their zero registers."""
     import math
     m = 1 << p
     sum_inv = sum(r["sum_inv"] for r in group_rows)
     n_present = sum(r["n_present"] for r in group_rows)
+    if n_groups is not None and len(group_rows) < n_groups:
+        if m % n_groups:
+            raise ValueError("n_groups must divide 2^p")
+        sum_inv += (n_groups - len(group_rows)) * (m // n_groups)
+    if sum_inv <= 0.0:
+        # no rows and no n_groups correction: an empty sketch
+        return 0.0
     zeros = m - n_present
     alpha = 0.7213 / (1 + 1.079 / m)
     raw = alpha * m * m / sum_inv

@@ -135,3 +135,15 @@ WHERE bit_count(xor(a.ph, b.ph)) <= 1""").fetchall()))
     # kept members must be the lowest media_ids of each bucket: every
     # capped pair must also be in the uncapped set
     assert {(r["id_a"], r["id_b"]) for r in capped} <= banded
+
+
+def test_media_phash_rejects_unsupported_radius(spark):
+    """The 2-band pigeonhole split is exact only for max_hamming <= 1;
+    a larger radius must refuse loudly instead of silently dropping
+    pairs that differ in both bands."""
+    import pytest
+
+    from closure_html_spark.spark.multimodal import q_media_phash_neardup
+    with pytest.raises(ValueError, match="max_hamming"):
+        q_media_phash_neardup(spark, "/root/testdata/sf0.001",
+                              max_hamming=2)

@@ -271,3 +271,33 @@ def test_feed_entries_tolerant_reader(spark):
     assert got[(1, "https://a/2")]["pub_epoch"] is None  # malformed
     assert got[(2, "https://b/1")]["kind"] == "atom"
     assert got[(2, "https://b/1")]["pub_epoch"] == 1717243200
+
+
+def test_feed_entries_multiline_bodies(spark):
+    """Real feeds put newlines inside every <item>/<entry> block; the
+    (?s)-prefixed extraction must yield the same entries as the
+    single-line form (Java regex '.' does not cross newlines without
+    DOTALL -- the round-8 ADVICE fix)."""
+    from closure_html_spark.spark import relational as R
+    rows = [
+        (1, '<rss version="2.0"><channel>\n'
+            '  <item>\n    <link>https://m/1</link>\n'
+            '    <title>t1</title>\n'
+            '    <pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>\n'
+            '  </item>\n  <item>\n    <link>https://m/2</link>\n'
+            '    <title>t2</title>\n  </item>\n'
+            '</channel></rss>'),
+        (2, '<feed xmlns="http://www.w3.org/2005/Atom">\n'
+            '  <entry>\n    <link href="https://n/1"/>\n'
+            '    <title>a1</title>\n'
+            '    <updated>2024-01-01T00:00:00Z</updated>\n'
+            '  </entry>\n</feed>'),
+    ]
+    df = spark.createDataFrame(rows, "host long, feed string")
+    got = {(r["host"], r["url"]): r
+           for r in R.feed_entries(df).collect()}
+    assert set(got) == {(1, "https://m/1"), (1, "https://m/2"),
+                        (2, "https://n/1")}
+    assert got[(1, "https://m/1")]["pub_epoch"] == 1704067200
+    assert got[(2, "https://n/1")]["pub_epoch"] == 1704067200
+    assert got[(1, "https://m/2")]["pub_epoch"] is None

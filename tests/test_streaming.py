@@ -503,3 +503,34 @@ def test_hll_estimator_twins_agree(spark):
                "sum_inv": row["sum_inv"]}]
     est = hll_estimate(groups, p=10)
     assert round(est, 3) == row["est_distinct"], (est, row)
+
+
+def test_hll_estimate_absent_groups_and_empty():
+    """A group that never received a key emits no row; without
+    correction its zero registers' 2^0 terms drop out of sum_inv and
+    inflate the estimate.  Passing n_groups credits absent groups their
+    all-zero slices: combining k present groups + (n-k) absent ones
+    must equal the estimate over the full register file; an empty row
+    list is 0.0, not a ZeroDivisionError."""
+    from closure_html_spark.spark.streaming import hll_estimate
+
+    p, n_groups = 10, 8
+    m = 1 << p
+    n_local = m // n_groups
+    # synthetic sketch: groups 0-2 saw keys, 3-7 never did
+    present_groups = [
+        {"grp": g, "n_present": 40 + g,
+         "sum_inv": sum(2.0 ** -(1 + (i % 5)) for i in range(40 + g))
+         + (n_local - (40 + g))}
+        for g in range(3)
+    ]
+    absent_rows = [{"grp": g, "n_present": 0, "sum_inv": float(n_local)}
+                   for g in range(3, n_groups)]
+    full = hll_estimate(present_groups + absent_rows, p=p)
+    corrected = hll_estimate(present_groups, p=p, n_groups=n_groups)
+    assert corrected == full
+    # without the correction the estimate is inflated
+    assert hll_estimate(present_groups, p=p) > full
+    # empty sketch: no rows at all
+    assert hll_estimate([], p=p, n_groups=n_groups) == 0.0
+    assert hll_estimate([], p=p) == 0.0

@@ -124,3 +124,65 @@ def test_conversion_record_roundtrip_fuzz():
         assert r["warc_type"] == "conversion"
         assert r["content_type"] == "text/plain"
         assert r["html"] == raw, trial
+
+
+def test_split_by_content_length_survives_warc_magic_in_payload():
+    """Content-Length is authoritative (ISO 28500): a payload that
+    embeds blank lines followed by the WARC/ magic -- the shape a WET
+    payload quoting a WARC file produces, which a magic-resyncing
+    splitter would truncate -- must stay one record."""
+    evil_body = b"quoting a warc:\r\n\r\nWARC/1.0\r\nlooks-real: yes"
+    rec1 = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Target-URI: https://e.ex/1\r\n"
+            b"Content-Type: text/plain\r\n"
+            b"Content-Length: " + str(len(evil_body)).encode() +
+            b"\r\n\r\n" + evil_body + b"\r\n\r\n")
+    rec2 = _mk(url=b"https://e.ex/2")
+    recs = split_warc_file(rec1 + rec2)
+    assert len(recs) == 2
+    r1 = parse_warc_record(recs[0])
+    assert r1["html"] == evil_body and r1["error"] is None
+    assert parse_warc_record(recs[1])["url"] == "https://e.ex/2"
+
+
+def test_split_wet_sink_separator_shape():
+    """write_wet_sharded separates records with CRLFCRLF plus the text
+    sink's LF; the Content-Length walk must split that shape cleanly
+    even when a payload contains a blank line followed by 'WARC/' at
+    line start (the resync fallback's documented truncation case)."""
+    body1 = b"line one\n\nWARC/ looks like a magic\nline three"
+    rec1 = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Target-URI: https://w.ex/1\r\n"
+            b"Content-Type: text/plain\r\n"
+            b"Content-Length: " + str(len(body1)).encode() +
+            b"\r\n\r\n" + body1 + b"\r\n\r\n")
+    body2 = b"second payload"
+    rec2 = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Target-URI: https://w.ex/2\r\n"
+            b"Content-Type: text/plain\r\n"
+            b"Content-Length: " + str(len(body2)).encode() +
+            b"\r\n\r\n" + body2 + b"\r\n\r\n")
+    # the text sink adds one LF after each row it writes
+    data = rec1 + b"\n" + rec2 + b"\n"
+    recs = split_warc_file(data)
+    assert len(recs) == 2
+    r1, r2 = (parse_warc_record(r) for r in recs)
+    assert r1["html"] == body1, r1
+    assert r2["html"] == body2, r2
+
+
+def test_split_corrupt_length_resyncs_on_magic():
+    """A record whose Content-Length does not land on a record boundary
+    must not swallow its successors: the splitter falls back to magic
+    resync (the pre-round-8 behavior) and the next record parses."""
+    bad = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+           b"WARC-Target-URI: https://c.ex/bad\r\n"
+           b"Content-Type: text/plain\r\n"
+           b"Content-Length: 7\r\n\r\n" + b"longer than seven")
+    good = _mk(url=b"https://c.ex/good")
+    recs = split_warc_file(bad + b"\r\n\r\n" + good)
+    assert parse_warc_record(recs[-1])["url"] == "https://c.ex/good"
+    # and an absent length still splits via the fallback
+    noclen = (b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\npayload")
+    recs2 = split_warc_file(noclen + b"\r\n\r\n" + good)
+    assert parse_warc_record(recs2[-1])["url"] == "https://c.ex/good"
